@@ -1,0 +1,100 @@
+"""Typed configuration (replaces the reference's edit-the-source dicts in
+``hyperparameters.py:3-34`` and ``config.py:16-27``).
+
+Defaults reproduce the reference hyperparameters exactly. Configs are plain
+dataclasses: constructible from code, kwargs, or a JSON file — no global
+mutable state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, Optional
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    # hyperparameters.py:8-14
+    node_features: int = 1  # kept for API parity; unused by the live model
+    edge_features: int = 2
+    hidden_features: int = 256  # 'dim_latent'
+    hidden_edge_features: int = 16
+    hidden_edge_scores: int = 64
+    num_gnn_layers: int = 16
+    nb_pos_enc: int = 16
+    batch_norm: bool = True  # hyperparameters.py:26
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # hyperparameters.py:5-7,15-25
+    seed: int = 0
+    lr: float = 1e-3
+    num_epochs: int = 100
+    patience: int = 2
+    decay: float = 0.95  # ReduceLROnPlateau factor
+    # Graph-scale regime: number of cluster partitions for minibatch
+    # training (METIS-equivalent; train.py:291-293). <=1 means full-graph.
+    num_parts_train: int = 500
+    num_parts_eval: int = 500
+    batch_size_train: int = 50
+    batch_size_eval: int = 50
+    # TPU-specific
+    backend: Optional[str] = None  # segment-op backend: None=auto/'xla'/'pallas'
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    checkpoint_dir: str = "checkpoints"
+    pretrained_dir: str = "pretrained"
+    resume: bool = True  # actually wired in, unlike train.py:61-93
+
+
+@dataclasses.dataclass
+class DecodeConfig:
+    # hyperparameters.py:19-20
+    num_decoding_paths: int = 50
+    len_threshold: int = 20
+
+
+@dataclasses.dataclass
+class DataConfig:
+    # pipeline.py:195-199 / graph_dataset.py:96-102
+    threads: int = 32
+    identity_filter: float = 0.99
+    kmer: int = 29
+    window: int = 9
+    coverage: float = 32.4  # pipeline.py:167-168
+    nb_pos_enc: int = 16
+
+
+@dataclasses.dataclass
+class SplitConfig:
+    """Train/valid/test chromosome counts (config.py:16-18). '_r' suffix
+    selects real data, as in the reference."""
+
+    train: Dict[str, int] = dataclasses.field(default_factory=lambda: {"chr19": 5})
+    valid: Dict[str, int] = dataclasses.field(default_factory=lambda: {"chr19": 2})
+    test: Dict[str, int] = dataclasses.field(default_factory=lambda: {"chr21": 1})
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    decode: DecodeConfig = dataclasses.field(default_factory=DecodeConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    split: SplitConfig = dataclasses.field(default_factory=SplitConfig)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        return cls(
+            model=ModelConfig(**raw.get("model", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            decode=DecodeConfig(**raw.get("decode", {})),
+            data=DataConfig(**raw.get("data", {})),
+            split=SplitConfig(**raw.get("split", {})),
+        )
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)

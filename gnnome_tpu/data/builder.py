@@ -1,0 +1,314 @@
+"""Overlap-graph builder: Raven-equivalent OLC front end.
+
+The reference shells out to the external C++ assembler Raven
+(``graph_dataset.py:120``: ``raven --identity 0.99 -k29 -w9 -p0``) whose
+``print_graphs`` branch dumps its overlap graph as CSV + GFA. This module
+is the in-repo equivalent: minimizer-based overlap detection, containment
+removal, transitive reduction, and emission of the same CSV/GFA contract
+our parser (and the reference's) consumes.
+
+A native C++ implementation with the same pipeline lives in
+``native/graph_builder.cpp`` (OpenMP-threaded, used for chromosome-scale
+inputs); this Python version is the executable spec and the test path.
+
+Graph conventions (must match ``graph_parser.py:154-311``):
+  * read ``i`` (GFA line ``i``) → nodes ``2i`` (as-is) and ``2i+1``
+    (reverse complement);
+  * every overlap edge ``u→v`` has a strand mirror ``v^1 → u^1``;
+  * CSV node rows: ``"<id> [<gfa_line>] LN:i:<len>", <pair>, 0, <trim>``;
+  * CSV edge rows: ``…, 1, "<edge_id> <prefix_len> <weight> <similarity>"``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_COMPLEMENT = str.maketrans("ACGTacgt", "TGCAtgca")
+_BASE_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+def reverse_complement(seq: str) -> str:
+    return seq.translate(_COMPLEMENT)[::-1]
+
+
+def parse_fasta(path: str) -> List[Tuple[str, str]]:
+    records: List[Tuple[str, str]] = []
+    header = None
+    chunks: List[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if header is not None:
+                    records.append((header, "".join(chunks).upper()))
+                header = line[1:]
+                chunks = []
+            else:
+                chunks.append(line)
+    if header is not None:
+        records.append((header, "".join(chunks).upper()))
+    return records
+
+
+def _hash64(x: int) -> int:
+    # Invertible 64-bit mix (Thomas Wang), the standard minimizer hash.
+    mask = (1 << 64) - 1
+    x = (~x + (x << 21)) & mask
+    x = x ^ (x >> 24)
+    x = (x + (x << 3) + (x << 8)) & mask
+    x = x ^ (x >> 14)
+    x = (x + (x << 2) + (x << 4)) & mask
+    x = x ^ (x >> 28)
+    x = (x + (x << 31)) & mask
+    return x
+
+
+def minimizers(seq: str, k: int, w: int) -> List[Tuple[int, int, int]]:
+    """(hash, position, strand) minimizers of ``seq``.
+
+    Canonical k-mers: strand=0 if the forward k-mer is the smaller of the
+    pair. Window minimum over ``w`` consecutive k-mers (same scheme Raven's
+    ram library uses with k=29, w=9).
+    """
+    n = len(seq)
+    if n < k:
+        return []
+    mask = (1 << (2 * k)) - 1
+    fwd = 0
+    rev = 0
+    shift = 2 * (k - 1)
+    hashes: List[Tuple[int, int, int]] = []  # (hash, pos, strand)
+    valid = 0
+    for i, ch in enumerate(seq):
+        code = _BASE_CODE.get(ch)
+        if code is None:
+            valid = 0
+            fwd = rev = 0
+            continue
+        fwd = ((fwd << 2) | code) & mask
+        rev = (rev >> 2) | ((3 - code) << shift)
+        valid += 1
+        if valid >= k:
+            pos = i - k + 1
+            if fwd <= rev:
+                hashes.append((_hash64(fwd), pos, 0))
+            else:
+                hashes.append((_hash64(rev), pos, 1))
+    out: List[Tuple[int, int, int]] = []
+    last = None
+    for start in range(0, max(len(hashes) - w + 1, 1)):
+        window = hashes[start : start + w]
+        if not window:
+            break
+        m = min(window)
+        if m != last:
+            out.append(m)
+            last = m
+    return out
+
+
+@dataclasses.dataclass
+class Overlap:
+    """Oriented overlap: suffix of oriented node ``u`` matches prefix of
+    oriented node ``v`` with offset ``prefix_len`` into ``u``."""
+
+    u: int
+    v: int
+    prefix_len: int
+    overlap_len: int
+    similarity: float
+
+
+def _node_len(read_lens: List[int], node: int) -> int:
+    return read_lens[node // 2]
+
+
+def find_overlaps(
+    reads: List[str],
+    k: int = 15,
+    w: int = 5,
+    min_overlap: int = 500,
+    min_matches: int = 4,
+    offset_tolerance: int = 128,
+) -> Tuple[List[Overlap], List[bool]]:
+    """All suffix→prefix overlaps between oriented reads + containment flags.
+
+    Returns overlaps on *node* ids (2i / 2i+1) and a per-read contained
+    flag (contained reads are dropped before graph emission, mirroring
+    Raven — cf. the note at ``graph_parser.py:126``).
+    """
+    n_reads = len(reads)
+    read_lens = [len(r) for r in reads]
+    index: Dict[int, List[Tuple[int, int, int]]] = defaultdict(list)
+    mins: List[List[Tuple[int, int, int]]] = []
+    for rid, seq in enumerate(reads):
+        ms = minimizers(seq, k, w)
+        mins.append(ms)
+        for h, pos, strand in ms:
+            index[h].append((rid, pos, strand))
+
+    # candidate pairs → oriented offset votes
+    votes: Dict[Tuple[int, int, int], List[Tuple[int, int]]] = defaultdict(list)
+    for rid, ms in enumerate(mins):
+        for h, pos, strand in ms:
+            for oid, opos, ostrand in index[h]:
+                if oid <= rid:
+                    continue
+                orient = strand ^ ostrand  # 0: same strand, 1: flipped
+                if orient == 0:
+                    diff = pos - opos
+                else:
+                    diff = pos - (read_lens[oid] - k - opos)
+                votes[(rid, oid, orient)].append((diff, pos))
+
+    overlaps: List[Overlap] = []
+    contained = [False] * n_reads
+
+    for (a, b, orient), pairs in votes.items():
+        if len(pairs) < min_matches:
+            continue
+        diffs = np.array([p[0] for p in pairs])
+        t = int(np.median(diffs))
+        support = int(np.sum(np.abs(diffs - t) <= offset_tolerance))
+        if support < min_matches:
+            continue
+        la, lb = read_lens[a], read_lens[b]
+        # orientation of b relative to a-forward
+        ob = orient
+        # t = offset of oriented-b start within a-forward coordinates
+        if t >= 0:
+            if t + lb <= la + offset_tolerance // 2 and t + lb <= la:
+                contained[b] = True
+                continue
+            ovl = la - t
+            if ovl < min_overlap:
+                continue
+            sim = min(1.0, support / max(1.0, 2.0 * ovl / (k * w)))
+            # a's suffix → b's prefix: edge 2a → 2b+ob, mirror (2b+ob)^1 → 2a^1
+            u, v = 2 * a, 2 * b + ob
+            overlaps.append(Overlap(u, v, t, ovl, sim))
+            overlaps.append(Overlap(v ^ 1, u ^ 1, lb - ovl, ovl, sim))
+        else:
+            t2 = -t
+            if t2 + la <= lb:
+                contained[a] = True
+                continue
+            ovl = lb - t2
+            if ovl < min_overlap:
+                continue
+            sim = min(1.0, support / max(1.0, 2.0 * ovl / (k * w)))
+            # oriented-b's suffix → a's prefix
+            u, v = 2 * b + ob, 2 * a
+            overlaps.append(Overlap(u, v, t2, ovl, sim))
+            overlaps.append(Overlap(v ^ 1, u ^ 1, la - ovl, ovl, sim))
+
+    return overlaps, contained
+
+
+def transitive_reduction(
+    overlaps: List[Overlap], n_nodes: int, fuzz: int = 500
+) -> List[Overlap]:
+    """Myers' transitive edge reduction: drop a→c when a→b→c explains it."""
+    adj: Dict[int, List[Overlap]] = defaultdict(list)
+    for o in overlaps:
+        adj[o.u].append(o)
+    for u in adj:
+        adj[u].sort(key=lambda o: o.prefix_len)
+
+    keep = []
+    for o in overlaps:
+        reduced = False
+        for mid in adj[o.u]:
+            if mid.v == o.v or mid.prefix_len >= o.prefix_len:
+                continue
+            for far in adj.get(mid.v, []):
+                if far.v == o.v and abs(
+                    mid.prefix_len + far.prefix_len - o.prefix_len
+                ) <= fuzz:
+                    reduced = True
+                    break
+            if reduced:
+                break
+        if not reduced:
+            keep.append(o)
+    return keep
+
+
+def emit_graph(
+    headers: List[str],
+    reads: List[str],
+    overlaps: List[Overlap],
+    contained: List[bool],
+    csv_path: str,
+    gfa_path: Optional[str] = None,
+) -> None:
+    """Write CSV + GFA in the reference contract (``graph_parser.py:187-200``)."""
+    if gfa_path is None:
+        gfa_path = csv_path[:-3] + "gfa"
+
+    # keep non-contained reads that appear in at least one overlap
+    used_reads = sorted(
+        {o.u // 2 for o in overlaps} | {o.v // 2 for o in overlaps}
+    )
+    used_reads = [r for r in used_reads if not contained[r]]
+    used = set(used_reads)
+    overlaps = [o for o in overlaps if o.u // 2 in used and o.v // 2 in used]
+
+    # new node ids: read r (gfa line g) → nodes 2g, 2g+1
+    read_to_line = {r: g for g, r in enumerate(used_reads)}
+
+    def node_id(old_node: int) -> int:
+        return 2 * read_to_line[old_node // 2] + (old_node & 1)
+
+    with open(gfa_path, "w") as f:
+        for r in used_reads:
+            rid = headers[r].split()[0]
+            f.write(f"S\t{rid}\t{reads[r]}\tLN:i:{len(reads[r])}\tRC:i:1\n")
+
+    def node_field(node: int) -> str:
+        g = node // 2
+        return f"{node} [{g}] LN:i:{len(reads[used_reads[g]])}"
+
+    with open(csv_path, "w") as f:
+        for g, r in enumerate(used_reads):
+            f.write(f"{node_field(2 * g)},{node_field(2 * g + 1)},0,-\n")
+        for eid, o in enumerate(overlaps):
+            u, v = node_id(o.u), node_id(o.v)
+            f.write(
+                f"{node_field(u)},{node_field(v)},1,"
+                f"{eid} {o.prefix_len} {o.overlap_len} {o.similarity:.4f}\n"
+            )
+
+
+def build_overlap_graph(
+    reads_path: str,
+    csv_path: str,
+    threads: int = 32,
+    identity: float = 0.99,
+    k: int = 15,
+    w: int = 5,
+    min_overlap: int = 500,
+) -> None:
+    """End-to-end builder: reads FASTA → CSV/GFA on disk.
+
+    Prefers the native C++ builder when available (chromosome scale);
+    falls back to this Python implementation.
+    """
+    from gnnome_tpu.data import native_bridge
+
+    if native_bridge.available():
+        native_bridge.build_overlap_graph(
+            reads_path, csv_path, threads, identity, k, w, min_overlap
+        )
+        return
+
+    records = parse_fasta(reads_path)
+    headers = [h for h, _ in records]
+    reads = [s for _, s in records]
+    overlaps, contained = find_overlaps(reads, k=k, w=w, min_overlap=min_overlap)
+    overlaps = transitive_reduction(overlaps, 2 * len(reads))
+    emit_graph(headers, reads, overlaps, contained, csv_path)

@@ -1,0 +1,211 @@
+"""Assembly-graph dataset: processing, caching, and feature preparation.
+
+The TPU counterpart of the reference's ``AssemblyGraphDataset``
+(``graph_dataset.py:12-138``):
+
+  * raw reads live in ``<root>/raw/<idx>.fasta``;
+  * ``process()`` runs the in-repo native graph builder (Raven-equivalent,
+    see ``native/``) on each raw file, parses its CSV/GFA output, labels
+    edges with the DFS oracle, and caches ``<root>/processed/<idx>.npz``
+    plus decode-time adjacency/reads pickles in ``<root>/info/``
+    (same layout the reference stores at ``graph_dataset.py:129-134``);
+  * loading applies feature preprocessing (``utils.py:67-94``) and the
+    PageRank positional encoding (``utils.py:97-140``), then pads
+    everything to static shapes for XLA.
+
+The cache format is npz (flat arrays) instead of serialized DGL graphs —
+there is no graph object to serialize, only arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnnome_tpu.core.graph import AssemblyGraph, build_graph, pad_features
+from gnnome_tpu.data import oracle
+from gnnome_tpu.data.parser import ParsedGraph, adjacency_dicts, parse_csv
+from gnnome_tpu.data.pe import pagerank_pe_np
+
+_NODE_ATTRS = (
+    "read_length read_idx read_strand read_start read_end "
+    "read_trim_start read_trim_end".split()
+)
+_EDGE_ATTRS = "prefix_length overlap_similarity overlap_length".split()
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """One device-ready graph with features, plus host metadata."""
+
+    idx: int
+    graph: AssemblyGraph
+    e_feat: jnp.ndarray  # f32[E_pad, 2] z-normed [ol_len, ol_sim]
+    pe: jnp.ndarray  # f32[N_pad, nb_pos_enc + 2] = [in_deg ‖ out_deg ‖ PR]
+    y: jnp.ndarray  # f32[E_pad] edge labels (0 on padding)
+    # host-side (decoding / evaluation)
+    prefix_length: np.ndarray  # int64[E]
+    read_length: np.ndarray  # int64[N]
+    overlap_length: np.ndarray  # int64[E]
+    overlap_similarity: np.ndarray  # f32[E]
+    src: np.ndarray  # int32[E] (unpadded)
+    dst: np.ndarray
+
+
+def save_processed(parsed: ParsedGraph, y: np.ndarray, npz_path: str) -> None:
+    arrays = dict(
+        src=parsed.src,
+        dst=parsed.dst,
+        y=y.astype(np.float32),
+        n_nodes=np.int64(parsed.n_nodes),
+    )
+    for a in _NODE_ATTRS + _EDGE_ATTRS:
+        arrays[a] = getattr(parsed, a)
+    np.savez_compressed(npz_path, **arrays)
+
+
+def znorm(x: np.ndarray) -> np.ndarray:
+    # torch .std() is Bessel-corrected (ddof=1); match utils.py:72-73.
+    std = x.std(ddof=1) if len(x) > 1 else 1.0
+    return (x - x.mean()) / (std if std > 0 else 1.0)
+
+
+def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16) -> GraphSample:
+    """Load a cached graph and prepare device features.
+
+    Feature prep mirrors ``utils.preprocess_graph`` (``utils.py:67-94``:
+    e = z-scored [overlap_length, overlap_similarity]) and
+    ``utils.add_positional_encoding`` (``utils.py:97-140``: in/out degree +
+    k-step PageRank, α=0.95).
+    """
+    z = np.load(npz_path)
+    src, dst = z["src"], z["dst"]
+    n = int(z["n_nodes"])
+    graph = build_graph(src, dst, n)
+
+    ol_len = znorm(z["overlap_length"].astype(np.float32))
+    ol_sim = znorm(z["overlap_similarity"].astype(np.float32))
+    e_feat = np.stack([ol_len, ol_sim], axis=1)
+
+    pr = pagerank_pe_np(src, dst, n, nb_pos_enc)
+    in_deg = np.bincount(dst, minlength=n).astype(np.float32)
+    out_deg = np.bincount(src, minlength=n).astype(np.float32)
+    # concat order [in_deg, out_deg, pe] matches train.py:249-251.
+    pe = np.concatenate([in_deg[:, None], out_deg[:, None], pr], axis=1)
+
+    return GraphSample(
+        idx=idx,
+        graph=graph,
+        e_feat=jnp.asarray(pad_features(e_feat, graph.n_edges_padded)),
+        pe=jnp.asarray(pad_features(pe, graph.n_nodes_padded)),
+        y=jnp.asarray(pad_features(z["y"], graph.n_edges_padded)),
+        prefix_length=z["prefix_length"],
+        read_length=z["read_length"],
+        overlap_length=z["overlap_length"],
+        overlap_similarity=z["overlap_similarity"],
+        src=src,
+        dst=dst,
+    )
+
+
+def process_raw_graph(
+    csv_path: str, reads_path: str, root: str, idx: int
+) -> ParsedGraph:
+    """Parse builder output, label with the oracle, cache npz + info pickles
+    (the body of ``graph_dataset.process``, ``graph_dataset.py:124-137``)."""
+    parsed = parse_csv(csv_path, reads_path)
+    succ, pred, edges = adjacency_dicts(parsed.src, parsed.dst, parsed.n_nodes)
+    y = oracle.edge_labels(parsed, succ, edges)
+
+    os.makedirs(os.path.join(root, "processed"), exist_ok=True)
+    os.makedirs(os.path.join(root, "info"), exist_ok=True)
+    save_processed(parsed, y, os.path.join(root, "processed", f"{idx}.npz"))
+    info = os.path.join(root, "info")
+    with open(os.path.join(info, f"{idx}_succ.pkl"), "wb") as f:
+        pickle.dump(succ, f)
+    with open(os.path.join(info, f"{idx}_pred.pkl"), "wb") as f:
+        pickle.dump(pred, f)
+    with open(os.path.join(info, f"{idx}_edges.pkl"), "wb") as f:
+        pickle.dump(edges, f)
+    with open(os.path.join(info, f"{idx}_reads.pkl"), "wb") as f:
+        pickle.dump(parsed.reads, f)
+    return parsed
+
+
+class AssemblyGraphDataset:
+    """Directory-backed dataset (reference: ``graph_dataset.py:12-138``).
+
+    ``root`` must contain ``raw/`` (FASTA read sets). Processing runs the
+    native overlap-graph builder on each raw file; loading yields
+    :class:`GraphSample` objects sorted by index.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        nb_pos_enc: Optional[int] = 16,
+        specs: Optional[Dict] = None,
+        generate: bool = False,
+    ):
+        self.root = os.path.abspath(root)
+        self.nb_pos_enc = nb_pos_enc
+        self.specs = specs or {}
+        for sub in ("raw", "processed", "info", "builder_output"):
+            os.makedirs(os.path.join(self.root, sub), exist_ok=True)
+        self.raw_dir = os.path.join(self.root, "raw")
+        self.save_dir = os.path.join(self.root, "processed")
+        self.tmp_dir = os.path.join(self.root, "builder_output")
+
+        if not self.has_cache():
+            self.process()
+
+        self.graph_list: List[Tuple[int, GraphSample]] = []
+        if not generate:
+            for file in sorted(os.listdir(self.save_dir)):
+                if not file.endswith(".npz"):
+                    continue
+                idx = int(file[: -len(".npz")])
+                sample = load_sample(
+                    os.path.join(self.save_dir, file), idx, nb_pos_enc or 16
+                )
+                self.graph_list.append((idx, sample))
+            self.graph_list.sort(key=lambda t: t[0])
+
+    def has_cache(self) -> bool:
+        """Resume-by-counting, as in ``graph_dataset.py:82-84``."""
+        n_processed = len([f for f in os.listdir(self.save_dir) if f.endswith(".npz")])
+        n_raw = len(os.listdir(self.raw_dir))
+        return n_processed >= n_raw
+
+    def __len__(self) -> int:
+        return len([f for f in os.listdir(self.save_dir) if f.endswith(".npz")])
+
+    def __getitem__(self, i: int) -> Tuple[int, GraphSample]:
+        return self.graph_list[i]
+
+    def __iter__(self):
+        return iter(self.graph_list)
+
+    def process(self) -> None:
+        """Run the native overlap-graph builder on unprocessed raw files
+        (``graph_dataset.py:93-138``)."""
+        from gnnome_tpu.data.builder import build_overlap_graph
+
+        raw_files = sorted(
+            f for f in os.listdir(self.raw_dir) if f.endswith((".fasta", ".fastq"))
+        )
+        n_have = len([f for f in os.listdir(self.save_dir) if f.endswith(".npz")])
+        for idx in range(n_have, len(raw_files)):
+            reads_path = os.path.join(self.raw_dir, f"{idx}.fasta")
+            csv_path = os.path.join(self.tmp_dir, f"{idx}_graph_1.csv")
+            build_overlap_graph(
+                reads_path,
+                csv_path,
+                threads=self.specs.get("threads", 32),
+                identity=self.specs.get("filter", 0.99),
+            )
+            process_raw_graph(csv_path, reads_path, self.root, idx)

@@ -1,0 +1,165 @@
+"""Ground-truth edge labeler: coordinate-guided DFS oracle.
+
+Host-side (numpy) re-implementation of the reference oracle
+(``algorithms.py:60-186``): simulated reads carry genome coordinates
+(strand/start/end), so the optimal assembly walks — and therefore the
+"correct" edges a perfect model should score 1 — are computable exactly.
+
+Semantics preserved bit-for-bit (tie-breaking included):
+
+  * DFS over positive-strand nodes only, children filtered to overlapping
+    (start ≤ current end) non-backtracking (start ≥ current start)
+    neighbors; if none, *gap-jumping* children (start > current end) are
+    allowed (``algorithms.py:86-106``).
+  * Children are pushed in descending ``read_start`` order so the stack
+    pops the smallest start first (``algorithms.py:108-111``).
+  * Walk = parent-chain to the max-``read_end`` node (``algorithms.py:116-124``).
+  * Components whose walk ends before the furthest point already covered
+    (or trivial walks) are discarded (``algorithms.py:160-167``).
+  * Correct edges: consecutive-overlap pairs along each walk, plus their
+    reverse-complement mirrors via the ``^1`` strand trick
+    (``algorithms.py:127-145``).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+
+
+def dfs(
+    read_start: np.ndarray,
+    read_end: np.ndarray,
+    read_strand: np.ndarray,
+    neighbors: Dict[int, List[int]],
+    start: int,
+    avoid: Set[int],
+) -> Tuple[List[int], Set[int]]:
+    """One guided DFS from ``start`` (``algorithms.py:60-124``)."""
+    n = len(read_start)
+    stack = [start]
+    visited = np.zeros(n, dtype=bool)
+    for a in avoid:
+        visited[a] = True
+
+    parent: Dict[int, int | None] = {start: None}
+    max_node = start
+    max_value = read_end[start]
+
+    while stack:
+        current = stack.pop()
+        if visited[current]:
+            continue
+        if read_end[current] > max_value:
+            max_value = read_end[current]
+            max_node = current
+        visited[current] = True
+
+        tmp = []
+        for node in neighbors.get(current, []):
+            if visited[node] or read_strand[node] == -1:
+                continue
+            if read_start[node] > read_end[current]:
+                continue
+            if read_start[node] < read_start[current]:
+                continue
+            tmp.append(node)
+        if not tmp:
+            # fallback: allow jumping a coverage gap (algorithms.py:97-106)
+            for node in neighbors.get(current, []):
+                if visited[node] or read_strand[node] == -1:
+                    continue
+                if read_start[node] < read_start[current]:
+                    continue
+                if read_start[node] > read_end[current]:
+                    tmp.append(node)
+
+        tmp.sort(key=lambda x: -read_start[x])
+        for node in tmp:
+            stack.append(node)
+            parent[node] = current
+
+    walk = []
+    current = max_node
+    while current is not None:
+        walk.append(current)
+        current = parent[current]
+    walk.reverse()
+    visited_set = set(np.nonzero(visited)[0].tolist())
+    return walk, visited_set
+
+
+def get_correct_edges(
+    read_start: np.ndarray,
+    read_end: np.ndarray,
+    neighbors: Dict[int, List[int]],
+    edges: Dict[Tuple[int, int], int],
+    walk: List[int],
+) -> Tuple[Set[int], Set[int]]:
+    """Edges justified by a walk + their negative-strand mirrors
+    (``algorithms.py:127-145``)."""
+    pos_edges: Set[int] = set()
+    neg_edges: Set[int] = set()
+    for i, src in enumerate(walk[:-1]):
+        for dst in walk[i + 1 :]:
+            if dst in neighbors[src] and read_start[dst] < read_end[src]:
+                pos_edges.add(edges[(src, dst)])
+                neg_edges.add(edges[(dst ^ 1, src ^ 1)])
+            else:
+                break
+    return pos_edges, neg_edges
+
+
+def get_gt_edges(
+    read_start: np.ndarray,
+    read_end: np.ndarray,
+    read_strand: np.ndarray,
+    neighbors: Dict[int, List[int]],
+    edges: Dict[Tuple[int, int], int],
+) -> Tuple[Set[int], Set[int]]:
+    """All correct edge ids, (positive strand, negative strand)
+    (``algorithms.py:148-186``)."""
+    n = len(read_start)
+    all_nodes = {i for i in range(n) if read_strand[i] == 1}
+    if not all_nodes:
+        return set(), set()
+    last_node = max(all_nodes, key=lambda x: read_end[x])
+
+    largest_visited = -1
+    pos_correct: Set[int] = set()
+    neg_correct: Set[int] = set()
+    all_visited: Set[int] = set()
+
+    while all_nodes:
+        start = min(all_nodes, key=lambda x: read_start[x])
+        walk, visited = dfs(read_start, read_end, read_strand, neighbors, start, all_visited)
+        if read_end[walk[-1]] < largest_visited or len(walk) == 1:
+            all_nodes -= visited
+            all_visited |= visited
+            continue
+        largest_visited = read_end[walk[-1]]
+
+        pos_e, neg_e = get_correct_edges(read_start, read_end, neighbors, edges, walk)
+        pos_correct |= pos_e
+        neg_correct |= neg_e
+
+        if largest_visited == read_end[last_node]:
+            break
+        all_nodes -= visited
+        all_visited |= visited
+
+    return pos_correct, neg_correct
+
+
+def edge_labels(
+    parsed, neighbors: Dict[int, List[int]], edges: Dict[Tuple[int, int], int]
+) -> np.ndarray:
+    """float32[E] 0/1 labels (``graph_parser.py:307-309``)."""
+    pos_e, neg_e = get_gt_edges(
+        parsed.read_start, parsed.read_end, parsed.read_strand, neighbors, edges
+    )
+    labels = pos_e | neg_e
+    y = np.zeros(parsed.n_edges, dtype=np.float32)
+    for idx in labels:
+        y[idx] = 1.0
+    return y

@@ -1,0 +1,117 @@
+"""Read simulator: seqrequester-equivalent sampling of HiFi-like reads.
+
+The reference shells out to marbl/seqrequester
+(``pipeline.py:133-170``): sample reads from a chromosome FASTA at a target
+coverage, lengths drawn from an empirical per-chromosome distribution file
+(one observed length per line, ``data/references/lengths/chr*.txt``), then
+rewrites headers to ``"<id> strand=±, start=<s>, end=<e>"``
+(``pipeline.py:46-61`` change_description).
+
+This module emits those final headers directly. A native C++ simulator with
+identical semantics lives in ``native/`` (used for full chromosomes); this
+Python version is the spec and handles tests/small inputs.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_COMPLEMENT = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def reverse_complement(seq: str) -> str:
+    return seq.translate(_COMPLEMENT)[::-1]
+
+
+def read_fasta_sequence(path: str) -> str:
+    parts: List[str] = []
+    with open(path) as f:
+        for line in f:
+            if not line.startswith(">"):
+                parts.append(line.strip())
+    return "".join(parts).upper()
+
+
+def write_fasta(path: str, records: List[tuple[str, str]], width: int = 80) -> None:
+    with open(path, "w") as f:
+        for header, seq in records:
+            f.write(f">{header}\n")
+            for i in range(0, len(seq), width):
+                f.write(seq[i : i + width] + "\n")
+
+
+def load_length_distribution(path: str) -> np.ndarray:
+    return np.loadtxt(path, dtype=np.int64)
+
+
+def simulate_reads(
+    genome: str,
+    coverage: float,
+    lengths: np.ndarray,
+    seed: int = 0,
+    circular: bool = False,
+) -> List[tuple[str, str]]:
+    """Sample reads to ``coverage`` × genome length.
+
+    Returns (header, sequence) pairs with ground-truth headers. Positions
+    are uniform; strand is a fair coin; a read's genomic interval is
+    [start, end) on the forward strand regardless of its own strand
+    (matching seqrequester's reporting, which the reference's oracle
+    consumes as forward-strand coordinates).
+    """
+    rng = np.random.default_rng(seed)
+    g_len = len(genome)
+    target = coverage * g_len
+    total = 0
+    records: List[tuple[str, str]] = []
+    idx = 0
+    while total < target:
+        length = int(lengths[rng.integers(0, len(lengths))])
+        length = min(length, g_len)
+        start = int(rng.integers(0, max(g_len - length, 0) + 1))
+        end = start + length
+        seq = genome[start:end]
+        strand = "+" if rng.random() < 0.5 else "-"
+        if strand == "-":
+            seq = reverse_complement(seq)
+        records.append((f"{idx} strand={strand}, start={start}, end={end}", seq))
+        total += length
+        idx += 1
+    return records
+
+
+def simulate_to_file(
+    genome_path: str,
+    out_path: str,
+    coverage: float = 32.4,
+    distribution_path: Optional[str] = None,
+    mean_length: int = 18000,
+    std_length: int = 4000,
+    seed: int = 0,
+) -> int:
+    """CLI-style entry mirroring ``seqrequester simulate -genome ...
+    -coverage ... -distribution ...`` (``pipeline.py:167-168``).
+
+    Prefers the native C++ simulator when built; falls back to Python.
+    Returns the number of reads written.
+    """
+    from gnnome_tpu.data import native_bridge
+
+    if native_bridge.available():
+        return native_bridge.simulate_reads(
+            genome_path, out_path, coverage, distribution_path or "", seed
+        )
+
+    genome = read_fasta_sequence(genome_path)
+    if distribution_path and os.path.exists(distribution_path):
+        lengths = load_length_distribution(distribution_path)
+    else:
+        rng = np.random.default_rng(seed + 1)
+        lengths = np.maximum(
+            rng.normal(mean_length, std_length, size=10000).astype(np.int64), 1000
+        )
+    records = simulate_reads(genome, coverage, lengths, seed=seed)
+    write_fasta(out_path, records)
+    return len(records)

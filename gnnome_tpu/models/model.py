@@ -1,0 +1,101 @@
+"""Full edge-classification model: encoders + GatedGCN stack + score head.
+
+Mirrors the reference ``GraphGatedGCNModel`` (``models/full_graph.py:11-29``)
+and its sub-layers:
+
+  * node encoder: a single linear on ``[in_deg ‖ out_deg ‖ pe]``
+    (``models/full_graph.py:15,23`` — note the raw node feature ``x`` is
+    ignored by the reference and therefore has no counterpart here);
+  * edge encoder: 2-layer MLP ``2 → hidden_edge → hidden`` with ReLU
+    (``models/full_graph.py:17-18,24-26``);
+  * processor: ``num_layers`` GatedGCN layers sharing dimensions
+    (``layers/processor.py:8-20``);
+  * score head: per-edge MLP on ``[h_src ‖ h_dst ‖ e]`` →
+    ``hidden_edge_scores`` → 1 (``layers/score_predictor.py:5-25``).
+
+Everything is a pure function of a parameter pytree, so the same code runs
+under ``jit``, ``grad``, and ``shard_map`` unchanged.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gnnome_tpu.core.graph import AssemblyGraph
+from gnnome_tpu.models.common import init_linear, linear
+from gnnome_tpu.models.gated_gcn import gated_gcn_layer, init_gated_gcn_layer
+
+
+def init_model_params(key: jax.Array, cfg, dtype=jnp.float32) -> Dict:
+    """cfg: a ``ModelConfig`` (see gnnome_tpu.config)."""
+    n_keys = cfg.num_gnn_layers + 4
+    keys = jax.random.split(key, n_keys)
+    params: Dict = {
+        # PE + in_deg + out_deg  →  hidden (models/full_graph.py:15)
+        "linear_pe": init_linear(keys[0], cfg.nb_pos_enc + 2, cfg.hidden_features, dtype),
+        "linear1_edge": init_linear(keys[1], cfg.edge_features, cfg.hidden_edge_features, dtype),
+        "linear2_edge": init_linear(keys[2], cfg.hidden_edge_features, cfg.hidden_features, dtype),
+        "layers": [
+            init_gated_gcn_layer(keys[3 + i], cfg.hidden_features, dtype)
+            for i in range(cfg.num_gnn_layers)
+        ],
+        "score1": init_linear(keys[-1], 3 * cfg.hidden_features, cfg.hidden_edge_scores, dtype),
+    }
+    params["score2"] = init_linear(
+        jax.random.fold_in(keys[-1], 1), cfg.hidden_edge_scores, 1, dtype
+    )
+    return params
+
+
+def score_predictor(params: Dict, graph: AssemblyGraph, h: jax.Array, e: jax.Array) -> jax.Array:
+    """Per-edge score MLP on [h_src ‖ h_dst ‖ e] (layers/score_predictor.py:12-18)."""
+    feat = jnp.concatenate(
+        [jnp.take(h, graph.src, axis=0), jnp.take(h, graph.dst, axis=0), e], axis=-1
+    )
+    hidden = jax.nn.relu(linear(params["score1"], feat))
+    return linear(params["score2"], hidden)[:, 0]
+
+
+def model_forward(
+    params: Dict,
+    graph: AssemblyGraph,
+    e_feat: jax.Array,  # f32[E_pad, 2]  z-normed [overlap_length, overlap_similarity]
+    pe: jax.Array,  # f32[N_pad, nb_pos_enc + 2]  [in_deg ‖ out_deg ‖ pagerank_pe]
+    batch_norm: bool = True,
+    backend: Optional[str] = None,
+    axis_name: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Returns per-edge logits, f32[E_pad] (padding rows are garbage; mask
+    with ``graph.edge_mask`` before use)."""
+    h = linear(params["linear_pe"], pe)
+    e = jax.nn.relu(linear(params["linear1_edge"], e_feat))
+    e = linear(params["linear2_edge"], e)
+
+    for i, layer_params in enumerate(params["layers"]):
+        rng = (
+            jax.random.fold_in(dropout_rng, i)
+            if dropout_rng is not None
+            else None
+        )
+        h, e = gated_gcn_layer(
+            layer_params,
+            graph,
+            h,
+            e,
+            batch_norm=batch_norm,
+            backend=backend,
+            axis_name=axis_name,
+            dropout_rate=dropout_rate,
+            dropout_rng=rng,
+        )
+
+    return score_predictor(params, graph, h, e)
+
+
+def count_params(params) -> int:
+    """Total parameter count (cf. ``train.py:96-112`` view_model_param)."""
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,118 @@
+"""Cluster-minibatch sampling (ClusterGCN regime).
+
+Memory-scaling fallback matching the reference's METIS/ClusterGCN path
+(``train.py:282-343``): partition a graph into ``num_parts`` clusters,
+shuffle, and train on induced subgraphs of ``batch_size`` clusters at a
+time. Each induced subgraph is re-padded to shared bucket sizes so XLA
+compiles one executable for the whole epoch instead of one per batch.
+
+Node features (PE, degrees) are sliced from the full graph, as DGL's
+sampler does — they are *not* recomputed per subgraph.
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Callable, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.data.dataset import GraphSample
+from gnnome_tpu.parallel.partition import partition_nodes
+
+
+def induced_subgraph(
+    sample: GraphSample, node_ids: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(sub_src, sub_dst, edge_ids, node_ids) for the induced subgraph."""
+    n = sample.graph.n_nodes
+    keep = np.zeros(n, dtype=bool)
+    keep[node_ids] = True
+    relabel = -np.ones(n, dtype=np.int64)
+    relabel[node_ids] = np.arange(len(node_ids))
+    emask = keep[sample.src] & keep[sample.dst]
+    edge_ids = np.nonzero(emask)[0]
+    return (
+        relabel[sample.src[edge_ids]].astype(np.int32),
+        relabel[sample.dst[edge_ids]].astype(np.int32),
+        edge_ids,
+        node_ids,
+    )
+
+
+def make_cluster_sampler(
+    num_parts: int,
+    batch_size: int,
+    nb_pos_enc: int,
+    seed: int = 0,
+) -> Callable[[GraphSample], List[GraphSample]]:
+    """Returns ``sampler(sample) -> list of sub-GraphSamples`` covering the
+    graph once, re-partitioned (and reshuffled) per call like the
+    reference's per-epoch re-clustering (``train.py:284-293``)."""
+    rng = random.Random(seed)
+    part_cache: Dict[int, np.ndarray] = {}
+
+    def sampler(sample: GraphSample) -> List[GraphSample]:
+        g = sample.graph
+        if sample.idx not in part_cache:
+            part_cache[sample.idx] = partition_nodes(
+                sample.src, sample.dst, g.n_nodes, num_parts
+            )
+        parts = part_cache[sample.idx]
+        actual_parts = int(parts.max()) + 1 if len(parts) else 1
+        cluster_ids = list(range(actual_parts))
+        rng.shuffle(cluster_ids)
+
+        pe_full = np.asarray(sample.pe)
+        e_full = np.asarray(sample.e_feat)
+        y_full = np.asarray(sample.y)
+
+        # shared padded bucket so every batch compiles to the same shapes
+        n_batches = math.ceil(actual_parts / batch_size)
+        pieces: List[GraphSample] = []
+        raw: List[Tuple[np.ndarray, ...]] = []
+        for b in range(n_batches):
+            chosen = cluster_ids[b * batch_size : (b + 1) * batch_size]
+            node_ids = np.nonzero(np.isin(parts, chosen))[0]
+            raw.append(induced_subgraph(sample, node_ids))
+        max_n = max(len(r[3]) for r in raw)
+        max_e = max(len(r[2]) for r in raw)
+        node_mult = _bucket(max_n)
+        edge_mult = _bucket(max_e)
+
+        for sub_src, sub_dst, edge_ids, node_ids in raw:
+            sub_g = build_graph(
+                sub_src, sub_dst, len(node_ids),
+                node_pad_multiple=node_mult, edge_pad_multiple=edge_mult,
+            )
+            pieces.append(
+                GraphSample(
+                    idx=sample.idx,
+                    graph=sub_g,
+                    e_feat=jnp.asarray(
+                        pad_features(e_full[edge_ids], sub_g.n_edges_padded)
+                    ),
+                    pe=jnp.asarray(
+                        pad_features(pe_full[node_ids], sub_g.n_nodes_padded)
+                    ),
+                    y=jnp.asarray(
+                        pad_features(y_full[edge_ids], sub_g.n_edges_padded)
+                    ),
+                    prefix_length=sample.prefix_length[edge_ids],
+                    read_length=sample.read_length[node_ids],
+                    overlap_length=sample.overlap_length[edge_ids],
+                    overlap_similarity=sample.overlap_similarity[edge_ids],
+                    src=sub_src,
+                    dst=sub_dst,
+                )
+            )
+        return pieces
+
+    return sampler
+
+
+def _bucket(x: int, base: int = 512) -> int:
+    """Round a max size up to a power-of-two-ish bucket multiple."""
+    return max(base, ((x + base - 1) // base) * base)

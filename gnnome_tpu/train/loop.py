@@ -1,0 +1,295 @@
+"""Training loop: jit-compiled step, plateau LR, checkpoints, metrics.
+
+TPU re-design of ``train.train`` (``train.py:115-533``):
+
+  * the per-graph step (forward, BCE-with-pos-weight, backward, Adam) is a
+    single jitted function; graphs of the same padded shape share one
+    compiled executable;
+  * full-graph training is the default regime (the framework's point is
+    that full-graph message passing is fast on TPU); the reference's
+    METIS/ClusterGCN minibatch regime (``train.py:282-343``) is available
+    via ``cluster_minibatch`` for graphs that exceed device memory;
+  * ``ReduceLROnPlateau`` semantics match torch (factor/patience,
+    ``train.py:212``); optimizer is Adam (``train.py:209``);
+  * loss is BCE-with-logits with dataset-wide pos_weight = 1 / mean
+    pos:neg ratio (``train.py:181,210-211``);
+  * checkpoint every epoch + best-on-valid-loss weights
+    (``train.py:525-528``), with resume wired in.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import random
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gnnome_tpu.config import Config
+from gnnome_tpu.core.graph import AssemblyGraph
+from gnnome_tpu.data.dataset import AssemblyGraphDataset, GraphSample
+from gnnome_tpu.evaluation.metrics import (
+    bce_with_logits,
+    classification_metrics,
+    confusion_counts,
+)
+from gnnome_tpu.models.model import count_params, init_model_params, model_forward
+from gnnome_tpu.train import checkpoint as ckpt
+
+
+class ReduceLROnPlateau:
+    """torch-compatible plateau scheduler (mode='min')."""
+
+    def __init__(self, factor: float = 0.95, patience: int = 2, min_lr: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+    def state_dict(self) -> Dict[str, float]:
+        return {"best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: Dict[str, float]) -> None:
+        self.best = float(d.get("best", float("inf")))
+        self.num_bad = int(d.get("num_bad", 0))
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    # lr is injected per-step so the plateau scheduler can change it
+    # without rebuilding optimizer state.
+    return optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+
+def set_lr(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch_norm", "backend"),
+    donate_argnames=("params", "opt_state"),
+)
+def train_step(
+    params,
+    opt_state,
+    graph: AssemblyGraph,
+    e_feat,
+    pe,
+    y,
+    pos_weight,
+    batch_norm: bool = True,
+    backend: Optional[str] = None,
+):
+    """One full-graph optimization step. Returns new state + metrics."""
+
+    def loss_fn(p):
+        logits = model_forward(
+            p, graph, e_feat, pe, batch_norm=batch_norm, backend=backend
+        )
+        loss = bce_with_logits(logits, y, graph.edge_mask, pos_weight)
+        return loss, logits
+
+    (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    opt = make_optimizer()
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    counts = confusion_counts(logits, y, graph.edge_mask)
+    return params, opt_state, loss, counts
+
+
+@functools.partial(jax.jit, static_argnames=("batch_norm", "backend"))
+def eval_step(
+    params, graph: AssemblyGraph, e_feat, pe, y, pos_weight,
+    batch_norm: bool = True, backend: Optional[str] = None,
+):
+    logits = model_forward(
+        params, graph, e_feat, pe, batch_norm=batch_norm, backend=backend
+    )
+    loss = bce_with_logits(logits, y, graph.edge_mask, pos_weight)
+    counts = confusion_counts(logits, y, graph.edge_mask)
+    return loss, counts, logits
+
+
+def pos_to_neg_ratio(samples: List[Tuple[int, GraphSample]]) -> float:
+    """Dataset-wide mean pos:neg label ratio (``train.py:181``)."""
+    ratios = []
+    for _, s in samples:
+        y = np.asarray(s.y)[: s.graph.n_edges]
+        pos = float((y == 1).sum())
+        neg = float((y == 0).sum())
+        ratios.append(pos / max(neg, 1.0))
+    return float(np.mean(ratios)) if ratios else 1.0
+
+
+def _epoch_pass(
+    samples,
+    params,
+    opt_state,
+    pos_weight,
+    cfg: Config,
+    train_mode: bool,
+    cluster_fn=None,
+):
+    """Run one pass over graphs; returns (params, opt_state, mean metrics)."""
+    losses, metric_sums = [], []
+    for idx, sample in samples:
+        pieces = (
+            cluster_fn(sample) if cluster_fn is not None else [sample]
+        )
+        g_losses, g_counts = [], []
+        for piece in pieces:
+            if train_mode:
+                params, opt_state, loss, counts = train_step(
+                    params, opt_state, piece.graph, piece.e_feat, piece.pe,
+                    piece.y, pos_weight,
+                    batch_norm=cfg.model.batch_norm,
+                    backend=cfg.train.backend,
+                )
+            else:
+                loss, counts, _ = eval_step(
+                    params, piece.graph, piece.e_feat, piece.pe, piece.y,
+                    pos_weight,
+                    batch_norm=cfg.model.batch_norm,
+                    backend=cfg.train.backend,
+                )
+            g_losses.append(float(loss))
+            g_counts.append(counts)
+        losses.append(float(np.mean(g_losses)))
+        per_piece = [
+            {k: float(v) for k, v in classification_metrics(c).items()}
+            for c in g_counts
+        ]
+        metric_sums.append(
+            {k: float(np.mean([m[k] for m in per_piece])) for k in per_piece[0]}
+        )
+    mean_metrics = {
+        k: float(np.mean([m[k] for m in metric_sums])) for k in metric_sums[0]
+    } if metric_sums else {}
+    mean_metrics["loss"] = float(np.mean(losses)) if losses else 0.0
+    return params, opt_state, mean_metrics
+
+
+def train(
+    train_path: str,
+    valid_path: Optional[str] = None,
+    out: str = "model",
+    overfit: bool = False,
+    cfg: Optional[Config] = None,
+    log_fn=print,
+) -> Dict[str, Any]:
+    """Full training run. Returns summary dict with paths + loss history."""
+    cfg = cfg or Config()
+    tc = cfg.train
+    random.seed(tc.seed)
+    np.random.seed(tc.seed)
+
+    ds_train = AssemblyGraphDataset(train_path, nb_pos_enc=cfg.model.nb_pos_enc)
+    if overfit or valid_path is None:
+        ds_valid = ds_train  # overfit mode (train.py:176-179)
+    else:
+        ds_valid = AssemblyGraphDataset(valid_path, nb_pos_enc=cfg.model.nb_pos_enc)
+
+    ratio = pos_to_neg_ratio(list(ds_train))
+    pos_weight = jnp.asarray(1.0 / max(ratio, 1e-9), dtype=jnp.float32)
+
+    key = jax.random.PRNGKey(tc.seed)
+    params = init_model_params(key, cfg.model)
+    opt = make_optimizer()
+    opt_state = opt.init(params)
+    opt_state = set_lr(opt_state, tc.lr)
+    log_fn(f"Number of network parameters: {count_params(params)}")
+
+    scheduler = ReduceLROnPlateau(factor=tc.decay, patience=tc.patience)
+    lr = tc.lr
+
+    ckpt_path = os.path.join(tc.checkpoint_dir, f"{out}.npz")
+    best_path = os.path.join(tc.pretrained_dir, f"model_{out}.npz")
+    start_epoch = 0
+    loss_train_hist: List[float] = []
+    loss_valid_hist: List[float] = []
+    if tc.resume and os.path.exists(ckpt_path):
+        params, opt_state, last_epoch, meta = ckpt.load_checkpoint(
+            ckpt_path, params, opt_state
+        )
+        start_epoch = last_epoch + 1
+        lr = float(meta.get("lr", lr))
+        scheduler.load_state_dict(meta.get("scheduler", {}))
+        loss_valid_hist = list(meta.get("loss_valid_hist", []))
+        loss_train_hist = list(meta.get("loss_train_hist", []))
+        log_fn(f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
+    cluster_fn = None
+    if tc.batch_size_train > 1 and tc.num_parts_train > 1:
+        from gnnome_tpu.train.cluster import make_cluster_sampler
+
+        cluster_fn = make_cluster_sampler(
+            num_parts=tc.num_parts_train,
+            batch_size=tc.batch_size_train,
+            nb_pos_enc=cfg.model.nb_pos_enc,
+            seed=tc.seed,
+        )
+
+    graphs = list(ds_train)
+    t0 = time.time()
+    for epoch in range(start_epoch, tc.num_epochs):
+        random.shuffle(graphs)
+        opt_state = set_lr(opt_state, lr)
+        params, opt_state, train_m = _epoch_pass(
+            graphs, params, opt_state, pos_weight, cfg, True, cluster_fn
+        )
+        loss_train_hist.append(train_m["loss"])
+        log_fn(
+            f"[epoch {epoch}] train loss {train_m['loss']:.4f} "
+            f"acc {train_m['accuracy']:.4f} f1 {train_m['f1']:.4f} "
+            f"fp_rate {train_m['fp_rate']:.4f} fn_rate {train_m['fn_rate']:.4f} "
+            f"lr {lr:.6f} ({time.time() - t0:.1f}s)"
+        )
+
+        _, _, valid_m = _epoch_pass(
+            list(ds_valid), params, opt_state, pos_weight, cfg, False
+        )
+        loss_valid_hist.append(valid_m["loss"])
+        log_fn(
+            f"[epoch {epoch}] valid loss {valid_m['loss']:.4f} "
+            f"acc {valid_m['accuracy']:.4f} f1 {valid_m['f1']:.4f}"
+        )
+
+        # best-model selection on valid loss (train.py:525-527)
+        if valid_m["loss"] <= min(loss_valid_hist):
+            ckpt.save_params(best_path, params)
+        ckpt.save_checkpoint(
+            ckpt_path, params, opt_state, epoch,
+            scalars={
+                "lr": lr,
+                "loss_train_hist": loss_train_hist,
+                "loss_valid_hist": loss_valid_hist,
+                "scheduler": scheduler.state_dict(),
+            },
+        )
+        lr = scheduler.step(valid_m["loss"], lr)
+
+    return {
+        "best_model": best_path,
+        "checkpoint": ckpt_path,
+        "loss_train": loss_train_hist,
+        "loss_valid": loss_valid_hist,
+        "pos_to_neg_ratio": ratio,
+    }

@@ -1,0 +1,29 @@
+"""Test harness: force an 8-virtual-device CPU platform before JAX starts.
+
+TPU hardware in CI is a single chip; all distributed tests run against a
+simulated mesh (per the project test strategy, SURVEY.md §4).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override any ambient TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# Parity tests compare against float64 numpy; keep f32 matmuls exact.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

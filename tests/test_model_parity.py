@@ -1,0 +1,106 @@
+"""Numerical parity: JAX/TPU model vs the dense numpy spec (north star:
+per-layer activations allclose vs. reference math, BASELINE.md)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnnome_tpu.config import ModelConfig
+from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.models.gated_gcn import gated_gcn_layer, init_gated_gcn_layer
+from gnnome_tpu.models.model import count_params, init_model_params, model_forward
+
+from reference_dense import dense_gated_gcn_layer, dense_model_forward
+
+
+def random_dag(rng, n=60, e=300):
+    src = rng.integers(0, n, size=e).astype(np.int32)
+    dst = rng.integers(0, n, size=e).astype(np.int32)
+    # drop duplicate / self edges for a clean comparison graph
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def to_numpy_params(p):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), p)
+
+
+@pytest.mark.parametrize("batch_norm", [True, False])
+def test_single_layer_parity(rng, batch_norm):
+    n, d = 60, 32
+    src, dst = random_dag(rng)
+    g = build_graph(src, dst, n)
+
+    key = jax.random.PRNGKey(0)
+    params = init_gated_gcn_layer(key, d)
+    h = rng.standard_normal((n, d)).astype(np.float32)
+    e = rng.standard_normal((len(src), d)).astype(np.float32)
+
+    h_pad = pad_features(h, g.n_nodes_padded)
+    e_pad = pad_features(e, g.n_edges_padded)
+
+    h_out, e_out = gated_gcn_layer(
+        params, g, jnp.asarray(h_pad), jnp.asarray(e_pad),
+        batch_norm=batch_norm, backend="xla",
+    )
+    h_ref, e_ref = dense_gated_gcn_layer(
+        to_numpy_params(params), src, dst, n, h.astype(np.float64),
+        e.astype(np.float64), batch_norm,
+    )
+    np.testing.assert_allclose(np.asarray(h_out)[:n], h_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(e_out)[: len(src)], e_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_full_model_parity(rng):
+    cfg = ModelConfig(num_gnn_layers=3, hidden_features=32, hidden_edge_features=8,
+                      hidden_edge_scores=16, nb_pos_enc=8)
+    n = 50
+    src, dst = random_dag(rng, n=n, e=250)
+    g = build_graph(src, dst, n)
+
+    params = init_model_params(jax.random.PRNGKey(1), cfg)
+    e_feat = rng.standard_normal((len(src), 2)).astype(np.float32)
+    pe = rng.standard_normal((n, cfg.nb_pos_enc + 2)).astype(np.float32)
+
+    scores = model_forward(
+        params, g,
+        jnp.asarray(pad_features(e_feat, g.n_edges_padded)),
+        jnp.asarray(pad_features(pe, g.n_nodes_padded)),
+        backend="xla",
+    )
+    ref = dense_model_forward(
+        to_numpy_params(params), src, dst, n,
+        e_feat.astype(np.float64), pe.astype(np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(scores)[: len(src)], ref, rtol=5e-4, atol=5e-4)
+
+
+def test_param_count_matches_reference_scale():
+    # Reference prints ~6.4M params for the default config (train.py:206).
+    params = init_model_params(jax.random.PRNGKey(0), ModelConfig())
+    total = count_params(params)
+    assert 6_000_000 < total < 7_000_000, total
+
+
+def test_padding_invariance(rng):
+    """Scores on real edges must not depend on padding amounts."""
+    cfg = ModelConfig(num_gnn_layers=2, hidden_features=32, hidden_edge_features=8,
+                      hidden_edge_scores=16, nb_pos_enc=8)
+    n = 40
+    src, dst = random_dag(rng, n=n, e=200)
+    params = init_model_params(jax.random.PRNGKey(2), cfg)
+    e_feat = rng.standard_normal((len(src), 2)).astype(np.float32)
+    pe = rng.standard_normal((n, cfg.nb_pos_enc + 2)).astype(np.float32)
+
+    outs = []
+    for node_mult, edge_mult in [(256, 512), (512, 1024)]:
+        g = build_graph(src, dst, n, node_pad_multiple=node_mult, edge_pad_multiple=edge_mult)
+        s = model_forward(
+            params, g,
+            jnp.asarray(pad_features(e_feat, g.n_edges_padded)),
+            jnp.asarray(pad_features(pe, g.n_nodes_padded)),
+            backend="xla",
+        )
+        outs.append(np.asarray(s)[: len(src)])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)

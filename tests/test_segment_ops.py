@@ -1,0 +1,93 @@
+"""Unit tests for the sparse aggregation primitives (XLA and Pallas)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.ops.segment import gated_aggregate, segment_sum_csr
+
+
+def make_graph(rng, n=70, e=400):
+    src = rng.integers(0, n, size=e).astype(np.int32)
+    dst = rng.integers(0, n, size=e).astype(np.int32)
+    return src, dst, build_graph(src, dst, n)
+
+
+def dense_segment_sum(data, ids, n):
+    out = np.zeros((n, data.shape[1]))
+    for k, i in enumerate(ids):
+        out[i] += data[k]
+    return out
+
+
+def test_segment_sum_xla_matches_dense(rng):
+    src, dst, g = make_graph(rng)
+    d = 16
+    data = rng.standard_normal((len(src), d)).astype(np.float32)
+    data_pad = pad_features(data, g.n_edges_padded)
+    out = segment_sum_csr(jnp.asarray(data_pad), g.by_dst, g.n_nodes_padded, backend="xla")
+    ref = dense_segment_sum(data, dst, g.n_nodes)
+    np.testing.assert_allclose(np.asarray(out)[: g.n_nodes], ref, rtol=1e-5, atol=1e-5)
+    # transpose layout keyed by src
+    out_b = segment_sum_csr(jnp.asarray(data_pad), g.by_src, g.n_nodes_padded, backend="xla")
+    ref_b = dense_segment_sum(data, src, g.n_nodes)
+    np.testing.assert_allclose(np.asarray(out_b)[: g.n_nodes], ref_b, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_pallas_interpret_matches_xla(rng):
+    src, dst, g = make_graph(rng, n=100, e=700)
+    d = 128
+    data = rng.standard_normal((len(src), d)).astype(np.float32)
+    data_pad = jnp.asarray(pad_features(data, g.n_edges_padded))
+    ref = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend="xla")
+    out = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_segment_sum_grad(rng):
+    src, dst, g = make_graph(rng, n=50, e=300)
+    d = 128
+    data = rng.standard_normal((len(src), d)).astype(np.float32)
+    data_pad = jnp.asarray(pad_features(data, g.n_edges_padded))
+
+    def loss(x, backend):
+        out = segment_sum_csr(x, g.by_dst, g.n_nodes_padded, backend=backend)
+        return jnp.sum(out**2)
+
+    g_xla = jax.grad(lambda x: loss(x, "xla"))(data_pad)
+    g_pal = jax.grad(lambda x: loss(x, "pallas_interpret"))(data_pad)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla), rtol=1e-4, atol=1e-4)
+
+
+def test_gated_aggregate_matches_manual(rng):
+    src, dst, g = make_graph(rng, n=40, e=200)
+    d = 8
+    vals = rng.standard_normal((g.n_nodes_padded, d)).astype(np.float32)
+    gate = rng.uniform(0.1, 1.0, (len(src), d)).astype(np.float32)
+    gate_pad = pad_features(gate, g.n_edges_padded)
+
+    out = gated_aggregate(
+        jnp.asarray(vals), jnp.asarray(gate_pad), g.src, g.by_dst,
+        g.n_nodes_padded, backend="xla",
+    )
+    num = dense_segment_sum(gate * vals[src], dst, g.n_nodes)
+    den = dense_segment_sum(gate, dst, g.n_nodes)
+    ref = num / (den + 1e-6)
+    np.testing.assert_allclose(np.asarray(out)[: g.n_nodes], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_and_high_degree_segments(rng):
+    # node 0 gets most edges; many nodes get none — stresses CSR ranges.
+    n, e = 300, 1000
+    src = rng.integers(0, n, size=e).astype(np.int32)
+    dst = np.zeros(e, dtype=np.int32)
+    dst[: e // 2] = 0
+    dst[e // 2 :] = rng.integers(0, 5, size=e - e // 2)
+    g = build_graph(src, dst, n)
+    d = 128
+    data = rng.standard_normal((e, d)).astype(np.float32)
+    data_pad = jnp.asarray(pad_features(data, g.n_edges_padded))
+    ref = dense_segment_sum(data, dst, n)
+    for backend in ("xla", "pallas_interpret"):
+        out = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend=backend)
+        np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=5e-5, atol=5e-5)
