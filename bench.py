@@ -1,0 +1,142 @@
+"""Benchmark: GatedGCN fwd+bwd throughput on a chr19-scale assembly graph.
+
+North-star metric (BASELINE.json): edges/sec/chip for the full 16-layer
+GatedGCN training step (forward + backward + Adam) on a chr19-sized
+synthetic assembly graph, single chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the speedup of the Pallas segment-sum path over the
+XLA scatter-add lowering (the DGL-equivalent execution the reference
+relies on) measured in the same run on the same graph — the reference
+itself publishes no numbers (BASELINE.md).
+
+Scale knobs via env: BENCH_NODES, BENCH_EDGES, BENCH_LAYERS, BENCH_ITERS.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_bench_graph(n_nodes: int, n_edges: int, seed: int = 0):
+    """Synthetic graph with assembly-like structure: long 2-strand chains
+    with overlap branches (chr19 simulated graphs have mean degree ~2-6)."""
+    from gnnome_tpu.core.graph import build_graph
+
+    rng = np.random.default_rng(seed)
+    half = n_nodes // 2
+    # forward-strand chain 0->2->4..., reverse-strand mirror, plus random
+    # skip edges emulating transitive overlaps and repeats
+    fwd = np.arange(half - 1, dtype=np.int64)
+    src = [2 * fwd, 2 * (fwd + 1) + 1]
+    dst = [2 * (fwd + 1), 2 * fwd + 1]
+    extra = n_edges - 2 * (half - 1)
+    if extra > 0:
+        s = rng.integers(0, n_nodes, extra)
+        offs = rng.integers(2, 12, extra)
+        d = np.minimum(s + 2 * offs, n_nodes - 1)
+        src.append(s)
+        dst.append(d)
+    src = np.concatenate(src).astype(np.int32)
+    dst = np.concatenate(dst).astype(np.int32)
+    keep = src != dst
+    return build_graph(src[keep], dst[keep], n_nodes), int(keep.sum())
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gnnome_tpu.config import ModelConfig
+    from gnnome_tpu.core.graph import pad_features
+    from gnnome_tpu.evaluation.metrics import bce_with_logits
+    from gnnome_tpu.models.model import init_model_params, model_forward
+    from gnnome_tpu.train.loop import make_optimizer, set_lr
+
+    n_nodes = int(os.environ.get("BENCH_NODES", 150_000))
+    n_edges = int(os.environ.get("BENCH_EDGES", 1_000_000))
+    n_layers = int(os.environ.get("BENCH_LAYERS", 16))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    dev = jax.devices()[0]
+    log(f"bench device: {dev} platform={jax.default_backend()}")
+    on_tpu = jax.default_backend() == "tpu"
+
+    cfg = ModelConfig(num_gnn_layers=n_layers)
+    graph, e_real = build_bench_graph(n_nodes, n_edges)
+    log(f"graph: {graph.n_nodes} nodes, {e_real} edges "
+        f"(padded {graph.n_nodes_padded}/{graph.n_edges_padded})")
+
+    rng = np.random.default_rng(1)
+    e_feat = jnp.asarray(pad_features(
+        rng.standard_normal((e_real, 2)).astype(np.float32), graph.n_edges_padded))
+    pe = jnp.asarray(pad_features(
+        rng.standard_normal((graph.n_nodes, cfg.nb_pos_enc + 2)).astype(np.float32),
+        graph.n_nodes_padded))
+    y = jnp.asarray(pad_features(
+        (rng.random(e_real) < 0.7).astype(np.float32), graph.n_edges_padded))
+
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer()
+
+    def make_step(backend):
+        @jax.jit
+        def step(params, opt_state, e_feat, pe, y):
+            def loss_fn(p):
+                logits = model_forward(
+                    p, graph, e_feat, pe, batch_norm=True, backend=backend,
+                    remat="group",
+                )
+                return bce_with_logits(logits, y, graph.edge_mask, 0.5)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            import optax
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def bench(backend):
+        step = make_step(backend)
+        p = params
+        s = set_lr(opt.init(params), 1e-3)
+        t0 = time.time()
+        p, s, loss = step(p, s, e_feat, pe, y)
+        jax.block_until_ready(loss)
+        log(f"{backend}: compile+first step {time.time()-t0:.1f}s loss={float(loss):.4f}")
+        t0 = time.time()
+        for _ in range(iters):
+            p, s, loss = step(p, s, e_feat, pe, y)
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / iters
+        eps = e_real / dt
+        log(f"{backend}: {dt*1e3:.1f} ms/step, {eps/1e6:.2f} M edges/s")
+        return eps
+
+    primary = "pallas" if on_tpu else "xla"
+    eps_primary = bench(primary)
+    vs = 1.0
+    if on_tpu:
+        eps_xla = bench("xla")
+        vs = eps_primary / eps_xla
+
+    print(json.dumps({
+        "metric": f"GatedGCN-{n_layers}L fwd+bwd edges/sec/chip (chr19-scale synthetic, {primary} backend)",
+        "value": round(eps_primary, 1),
+        "unit": "edges/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,8 @@ import numpy as np
 import jax.numpy as jnp
 
 NODE_PAD_MULTIPLE = 256
-EDGE_PAD_MULTIPLE = 512
+# The Pallas segment-sum kernel streams edges in 1024-edge chunks.
+EDGE_PAD_MULTIPLE = 1024
 # Segment id assigned to padded edges: larger than any real node id so the
 # one-hot segment-sum kernels drop their contribution automatically.
 PAD_SEGMENT = np.int32(2**30)

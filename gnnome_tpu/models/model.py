@@ -58,6 +58,10 @@ def score_predictor(params: Dict, graph: AssemblyGraph, h: jax.Array, e: jax.Arr
     return linear(params["score2"], hidden)[:, 0]
 
 
+def _stack_layers(layers):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def model_forward(
     params: Dict,
     graph: AssemblyGraph,
@@ -68,30 +72,63 @@ def model_forward(
     axis_name: Optional[str] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    remat: str = "layer",  # 'none' | 'layer' | 'group'
+    remat_group: int = 4,
 ) -> jax.Array:
     """Returns per-edge logits, f32[E_pad] (padding rows are garbage; mask
-    with ``graph.edge_mask`` before use)."""
+    with ``graph.edge_mask`` before use).
+
+    The GNN stack runs as ``lax.scan`` over stacked layer parameters —
+    one compiled layer body instead of ``num_layers`` unrolled copies.
+    ``remat`` controls activation memory for the backward pass:
+      * 'none'  — store every layer's intermediates (fast, memory-hungry);
+      * 'layer' — recompute per layer (stores only per-layer (h, e) carries);
+      * 'group' — two-level scan: only every ``remat_group``-th (h, e) is
+        stored, inner layers recomputed — O(L/G + G) activation memory,
+        what lets a 16-layer chr19-scale full-graph backward fit one chip.
+    """
     h = linear(params["linear_pe"], pe)
     e = jax.nn.relu(linear(params["linear1_edge"], e_feat))
     e = linear(params["linear2_edge"], e)
 
-    for i, layer_params in enumerate(params["layers"]):
-        rng = (
-            jax.random.fold_in(dropout_rng, i)
-            if dropout_rng is not None
-            else None
+    def layer_fn(lp, h, e, rng):
+        return gated_gcn_layer(
+            lp, graph, h, e,
+            batch_norm=batch_norm, backend=backend, axis_name=axis_name,
+            dropout_rate=dropout_rate, dropout_rng=rng,
         )
-        h, e = gated_gcn_layer(
-            layer_params,
-            graph,
-            h,
-            e,
-            batch_norm=batch_norm,
-            backend=backend,
-            axis_name=axis_name,
-            dropout_rate=dropout_rate,
-            dropout_rng=rng,
-        )
+
+    n_layers = len(params["layers"])
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # dropout path: unrolled loop with per-layer rng folds
+        for i, lp in enumerate(params["layers"]):
+            h, e = layer_fn(lp, h, e, jax.random.fold_in(dropout_rng, i))
+    else:
+        stacked = _stack_layers(params["layers"])
+
+        def body(carry, lp):
+            h, e = carry
+            h, e = layer_fn(lp, h, e, None)
+            return (h, e), None
+
+        if remat in ("layer", "group"):
+            body = jax.checkpoint(body)
+
+        if remat == "group" and n_layers % remat_group == 0 and n_layers > remat_group:
+            groups = n_layers // remat_group
+            grouped = jax.tree_util.tree_map(
+                lambda x: x.reshape(groups, remat_group, *x.shape[1:]), stacked
+            )
+
+            def group_body(carry, group_lp):
+                out, _ = jax.lax.scan(body, carry, group_lp)
+                return out, None
+
+            (h, e), _ = jax.lax.scan(
+                jax.checkpoint(group_body), (h, e), grouped
+            )
+        else:
+            (h, e), _ = jax.lax.scan(body, (h, e), stacked)
 
     return score_predictor(params, graph, h, e)
 

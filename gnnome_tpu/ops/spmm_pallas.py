@@ -8,12 +8,15 @@ one op XLA lowers poorly on TPU, so we own it:
   * Edges are pre-sorted by their key node (CSR order), so each node block
     of 128 rows touches a *contiguous* range of edge chunks.
   * The grid runs over node blocks; per block we stream that block's edge
-    chunks HBM→VMEM with double-buffered async DMA.
-  * The within-chunk reduction is a one-hot matmul on the MXU:
-    ``onehot[BN, CHUNK] @ data[CHUNK, D]`` where
+    chunks (1024 edges each) HBM→VMEM with double-buffered async DMA.
+  * The within-chunk reduction runs on the MXU as 8 one-hot matmuls
+    ``onehot[BN, 128] @ data[128, D]`` where
     ``onehot[n, c] = (segment_id[c] == block_base + n)``. Segment ids of
-    neighboring blocks (or padding, id == 2^30) simply never match, so no
-    masking is needed and chunk overlap at block boundaries is harmless.
+    neighboring blocks (or padding, id == 2^30) never match, so no masking
+    is needed and chunk overlap at block boundaries is harmless.
+  * Segment ids live in HBM as ``[E/128, 128]`` so every ids DMA moves an
+    8-sublane-aligned ``[8, 128]`` tile (Mosaic requires dim-0 slices in
+    multiples of 8).
 
 The MXU does the irregular reduction as dense math — the TPU-idiomatic
 answer to a gather/scatter workload (cf. "Fast Training of Sparse GNNs on
@@ -31,21 +34,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_NODES = 128
-CHUNK_EDGES = 256
+LANE = 128
+SUBCHUNKS = 8
+CHUNK_EDGES = SUBCHUNKS * LANE  # 1024 edges per DMA chunk
 
 
 def _segment_sum_kernel(
     chunk_lo_ref,  # SMEM int32[nblocks]  (scalar prefetch)
     chunk_hi_ref,  # SMEM int32[nblocks]  (scalar prefetch)
     data_hbm,  # ANY  f32[E, D]
-    ids_hbm,  # ANY  int32[E // CHUNK, CHUNK]
+    ids_hbm,  # ANY  int32[E // LANE, LANE]
     out_ref,  # VMEM f32[BN, D] block
     data_buf,  # VMEM f32[2, CHUNK, D] scratch
-    ids_buf,  # VMEM int32[2, 1, CHUNK] scratch
+    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE] scratch
     sems,  # DMA sems [2, 2]
     *,
     block_nodes: int,
-    chunk_edges: int,
     out_dim: int,
 ):
     i = pl.program_id(0)
@@ -57,14 +61,14 @@ def _segment_sum_kernel(
 
     def data_dma(slot, c):
         return pltpu.make_async_copy(
-            data_hbm.at[pl.ds(c * chunk_edges, chunk_edges), :],
+            data_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
             data_buf.at[slot],
             sems.at[slot, 0],
         )
 
     def ids_dma(slot, c):
         return pltpu.make_async_copy(
-            ids_hbm.at[pl.ds(c, 1), :],
+            ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
             ids_buf.at[slot],
             sems.at[slot, 1],
         )
@@ -87,10 +91,18 @@ def _segment_sum_kernel(
         data_dma(slot, c).wait()
         ids_dma(slot, c).wait()
 
-        onehot = (ids_buf[slot] == node_ids).astype(jnp.float32)  # [BN, CHUNK]
-        return acc + jnp.dot(
-            onehot, data_buf[slot], preferred_element_type=jnp.float32
-        )
+        for r in range(SUBCHUNKS):
+            ids_row = ids_buf[slot, r : r + 1, :]  # [1, LANE]
+            onehot = (ids_row == node_ids).astype(jnp.float32)  # [BN, LANE]
+            # HIGHEST: full-f32 MXU passes — the one-hot is exact 0/1, so
+            # this makes the segment sum bit-faithful to an f32 scatter-add.
+            acc = acc + jnp.dot(
+                onehot,
+                data_buf[slot, r * LANE : (r + 1) * LANE, :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return acc
 
     acc = jnp.zeros((block_nodes, out_dim), jnp.float32)
     acc = jax.lax.fori_loop(0, hi - lo, body, acc)
@@ -118,12 +130,11 @@ def _forward(
     chunk_lo = (block_edge_lo // ch).astype(jnp.int32)
     chunk_hi = ((block_edge_hi + ch - 1) // ch).astype(jnp.int32)
 
-    ids_2d = segment_ids_sorted.reshape(e_pad // ch, ch)
+    ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
 
     kernel = functools.partial(
         _segment_sum_kernel,
         block_nodes=bn,
-        chunk_edges=ch,
         out_dim=d,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -138,7 +149,7 @@ def _forward(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ch, d), jnp.float32),
-            pltpu.VMEM((2, 1, ch), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -167,7 +178,8 @@ def sorted_segment_sum_pallas(
 
     ``data_sorted``: f32[E_pad, D] in CSR order; ``segment_ids_sorted``:
     int32[E_pad] non-decreasing (padding = 2^30); ``offsets``:
-    int32[num_segments + 1] CSR row pointers.
+    int32[num_segments + 1] CSR row pointers. E_pad must be a multiple of
+    1024 and num_segments a multiple of 128.
     """
     return _forward(data_sorted, segment_ids_sorted, offsets, num_segments, interpret)
 

@@ -79,8 +79,8 @@ def make_cluster_sampler(
             raw.append(induced_subgraph(sample, node_ids))
         max_n = max(len(r[3]) for r in raw)
         max_e = max(len(r[2]) for r in raw)
-        node_mult = _bucket(max_n)
-        edge_mult = _bucket(max_e)
+        node_mult = _bucket(max_n, base=512)
+        edge_mult = _bucket(max_e, base=1024)
 
         for sub_src, sub_dst, edge_ids, node_ids in raw:
             sub_g = build_graph(

@@ -236,6 +236,14 @@ def train(
         loss_train_hist = list(meta.get("loss_train_hist", []))
         log_fn(f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
+    from gnnome_tpu.utils.logging import MetricsLogger
+
+    metrics_logger = MetricsLogger(
+        out_dir=os.path.join(tc.checkpoint_dir, "runs"), run_name=out,
+        config={"model": dataclasses.asdict(cfg.model),
+                "train": dataclasses.asdict(cfg.train)},
+    )
+
     cluster_fn = None
     if tc.batch_size_train > 1 and tc.num_parts_train > 1:
         from gnnome_tpu.train.cluster import make_cluster_sampler
@@ -272,6 +280,15 @@ def train(
             f"acc {valid_m['accuracy']:.4f} f1 {valid_m['f1']:.4f}"
         )
 
+        # per-epoch metric record (the reference's 14-metric wandb log,
+        # train.py:513-521)
+        metrics_logger.log(
+            {**{f"train_{k}": v for k, v in train_m.items()},
+             **{f"val_{k}": v for k, v in valid_m.items()},
+             "lr_value": lr},
+            step=epoch,
+        )
+
         # best-model selection on valid loss (train.py:525-527)
         if valid_m["loss"] <= min(loss_valid_hist):
             ckpt.save_params(best_path, params)
@@ -286,6 +303,7 @@ def train(
         )
         lr = scheduler.step(valid_m["loss"], lr)
 
+    metrics_logger.close()
     return {
         "best_model": best_path,
         "checkpoint": ckpt_path,

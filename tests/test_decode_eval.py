@@ -1,0 +1,104 @@
+"""Decoding + assembly evaluation tests on a synthetic dataset.
+
+Strongest functional check: decoding with *oracle-perfect* scores must
+reconstruct nearly the whole genome in one or few contigs.
+"""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gnnome_tpu.data.dataset import AssemblyGraphDataset
+from gnnome_tpu.data.simulate import simulate_reads, write_fasta
+from gnnome_tpu.decode import greedy
+from gnnome_tpu.evaluation import assembly as asm
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("decode_ds")
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), size=25_000))
+    records = simulate_reads(
+        genome, coverage=14.0, lengths=np.full(400, 1_800, dtype=np.int64), seed=5
+    )
+    os.makedirs(root / "raw", exist_ok=True)
+    write_fasta(str(root / "raw" / "0.fasta"), records)
+    ds = AssemblyGraphDataset(str(root), nb_pos_enc=8)
+    return str(root), ds, genome
+
+
+def load_info(root, idx, kind):
+    with open(os.path.join(root, "info", f"{idx}_{kind}.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def test_perfect_scores_reconstruct_genome(ds_root):
+    root, ds, genome = ds_root
+    idx, sample = ds[0]
+    succs = load_info(root, 0, "succ")
+    preds = load_info(root, 0, "pred")
+    edges = load_info(root, 0, "edges")
+    reads = load_info(root, 0, "reads")
+
+    # oracle labels as logits: +8 for correct edges, -8 otherwise
+    y = np.asarray(sample.y)[: sample.graph.n_edges]
+    scores = np.where(y == 1, 8.0, -8.0)
+
+    walks = greedy.get_contigs(
+        sample.src, sample.dst, scores, succs, preds, edges,
+        sample.prefix_length, sample.read_length,
+        nb_paths=20, len_threshold=10, seed=0,
+    )
+    assert walks, "no contigs decoded"
+    contigs = asm.walk_to_sequence(walks, reads, sample.prefix_length, edges)
+    total = sum(len(seq) for _, seq in contigs)
+    # perfect scores on clean reads should reconstruct ≥90% of the genome
+    assert total >= 0.9 * len(genome), (total, len(genome))
+
+    # reconstructed sequence must actually match the genome (modulo strand)
+    longest = max(contigs, key=lambda c: len(c[1]))[1]
+    from gnnome_tpu.data.parser import reverse_complement
+    assert longest in genome or reverse_complement(longest) in genome
+
+    num, longest_len, recon, n50, ng50 = asm.quick_evaluation(
+        contigs, "synthetic", ref_length=len(genome)
+    )
+    assert longest_len == len(longest)
+    assert n50 > 0 and ng50 > 0
+
+    path = asm.save_assembly(contigs, root, 0)
+    assert os.path.exists(path)
+    report = asm.print_summary(root, 0, "synthetic", num, longest_len, recon,
+                               n50, ng50, log_fn=lambda *_: None)
+    assert os.path.exists(report)
+
+
+def test_walk_strand_consistency(ds_root):
+    """Decoded walks must respect the ^1 mate exclusion: a walk never
+    visits both strands of one read (inference.py:39,63)."""
+    root, ds, _ = ds_root
+    idx, sample = ds[0]
+    succs = load_info(root, 0, "succ")
+    preds = load_info(root, 0, "pred")
+    edges = load_info(root, 0, "edges")
+    y = np.asarray(sample.y)[: sample.graph.n_edges]
+    scores = np.where(y == 1, 8.0, -8.0)
+    walks = greedy.get_contigs(
+        sample.src, sample.dst, scores, succs, preds, edges,
+        sample.prefix_length, sample.read_length,
+        nb_paths=20, len_threshold=5, seed=0,
+    )
+    for walk in walks:
+        nodes = set(walk)
+        for node in walk:
+            assert node ^ 1 not in nodes or node ^ 1 == node
+
+
+def test_n50_ng50():
+    lengths = [100, 200, 300, 400]
+    # total 1000, half=500: 400+300=700 >= 500 -> N50=300
+    assert asm.calculate_n50(lengths) == 300
+    assert asm.calculate_ng50(lengths, 2500) == -1  # can't reach half of ref
+    assert asm.calculate_ng50(lengths, 800) == 400

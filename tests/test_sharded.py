@@ -1,0 +1,128 @@
+"""Distributed correctness on a simulated 8-device CPU mesh.
+
+North-star requirement: sharded execution must match single-device
+numerics (BASELINE.md "numerical parity").
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnnome_tpu.config import ModelConfig
+from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.data.dataset import GraphSample
+from gnnome_tpu.evaluation.metrics import bce_with_logits
+from gnnome_tpu.models.model import init_model_params, model_forward
+from gnnome_tpu.parallel.mesh import make_mesh
+from gnnome_tpu.parallel.sharded import (
+    make_sharded_loss,
+    make_sharded_train_step,
+    prepare_batch,
+)
+from gnnome_tpu.train.loop import make_optimizer, set_lr
+
+
+def make_sample(rng, n=100, e=600, idx=0, nb_pos_enc=8):
+    src = rng.integers(0, n, size=e).astype(np.int32)
+    dst = rng.integers(0, n, size=e).astype(np.int32)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_graph(src, dst, n)
+    e_real = len(src)
+    e_feat = rng.standard_normal((e_real, 2)).astype(np.float32)
+    pe = rng.standard_normal((n, nb_pos_enc + 2)).astype(np.float32)
+    y = (rng.random(e_real) < 0.3).astype(np.float32)
+    return GraphSample(
+        idx=idx,
+        graph=g,
+        e_feat=jnp.asarray(pad_features(e_feat, g.n_edges_padded)),
+        pe=jnp.asarray(pad_features(pe, g.n_nodes_padded)),
+        y=jnp.asarray(pad_features(y, g.n_edges_padded)),
+        prefix_length=np.zeros(e_real, np.int64),
+        read_length=np.zeros(n, np.int64),
+        overlap_length=np.zeros(e_real, np.int64),
+        overlap_similarity=np.zeros(e_real, np.float32),
+        src=src,
+        dst=dst,
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig(
+        num_gnn_layers=2, hidden_features=32, hidden_edge_features=8,
+        hidden_edge_scores=16, nb_pos_enc=8,
+    )
+
+
+def single_device_loss(params, sample, pos_weight, cfg):
+    logits = model_forward(
+        params, sample.graph, sample.e_feat, sample.pe,
+        batch_norm=cfg.batch_norm, backend="xla",
+    )
+    return bce_with_logits(logits, sample.y, sample.graph.edge_mask, pos_weight)
+
+
+def test_sharded_loss_matches_single_device(rng, cfg):
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=1, graph=8)
+    sample = make_sample(rng)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    pos_weight = jnp.float32(2.0)
+
+    ref = float(single_device_loss(params, sample, pos_weight, cfg))
+    batch = prepare_batch([sample], mesh)
+    loss_fn = make_sharded_loss(mesh, batch_norm=cfg.batch_norm)
+    sharded = float(jax.jit(loss_fn)(params, batch, pos_weight))
+    np.testing.assert_allclose(sharded, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_train_step_matches_single_device(rng, cfg):
+    mesh = make_mesh(data=1, graph=8)
+    sample = make_sample(rng, n=80, e=500)
+    params = init_model_params(jax.random.PRNGKey(1), cfg)
+    pos_weight = jnp.float32(1.5)
+
+    opt = make_optimizer()
+
+    # single-device reference step
+    def ref_loss(p):
+        return single_device_loss(p, sample, pos_weight, cfg)
+
+    ref_l, ref_grads = jax.value_and_grad(ref_loss)(params)
+    opt_state = set_lr(opt.init(params), 1e-3)
+    import optax
+    updates, _ = opt.update(ref_grads, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+
+    # sharded step
+    batch = prepare_batch([sample], mesh)
+    step = make_sharded_train_step(mesh, batch_norm=cfg.batch_norm)
+    opt_state2 = set_lr(opt.init(params), 1e-3)
+    new_params, _, loss = step(params, opt_state2, batch, pos_weight)
+
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=2e-5, atol=2e-5)
+    for ref_leaf, got_leaf in zip(
+        jax.tree_util.tree_leaves(ref_params), jax.tree_util.tree_leaves(new_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got_leaf), np.asarray(ref_leaf), rtol=5e-4, atol=5e-4
+        )
+
+
+def test_data_parallel_two_graphs(rng, cfg):
+    """data=2 × graph=4: two graphs per step, loss = mean of per-graph."""
+    mesh = make_mesh(data=2, graph=4)
+    s1 = make_sample(rng, n=60, e=300, idx=0)
+    s2 = make_sample(rng, n=90, e=500, idx=1)
+    params = init_model_params(jax.random.PRNGKey(2), cfg)
+    pw = jnp.float32(1.0)
+
+    ref = 0.5 * (
+        float(single_device_loss(params, s1, pw, cfg))
+        + float(single_device_loss(params, s2, pw, cfg))
+    )
+    batch = prepare_batch([s1, s2], mesh)
+    loss_fn = make_sharded_loss(mesh, batch_norm=cfg.batch_norm)
+    got = float(jax.jit(loss_fn)(params, batch, pw))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
