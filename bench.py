@@ -16,6 +16,7 @@ Scale knobs via env: BENCH_NODES, BENCH_EDGES, BENCH_LAYERS, BENCH_ITERS.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -58,7 +59,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gnnome_tpu.config import ModelConfig
-    from gnnome_tpu.core.graph import pad_features
+    from gnnome_tpu.core.graph import pad_features, prepare_edge_features
     from gnnome_tpu.evaluation.metrics import bce_with_logits
     from gnnome_tpu.models.model import init_model_params, model_forward
     from gnnome_tpu.train.loop import make_optimizer, set_lr
@@ -78,20 +79,23 @@ def main() -> None:
         f"(padded {graph.n_nodes_padded}/{graph.n_edges_padded})")
 
     rng = np.random.default_rng(1)
-    e_feat = jnp.asarray(pad_features(
-        rng.standard_normal((e_real, 2)).astype(np.float32), graph.n_edges_padded))
+    e_feat = prepare_edge_features(
+        graph, rng.standard_normal((e_real, 2)).astype(np.float32))
     pe = jnp.asarray(pad_features(
         rng.standard_normal((graph.n_nodes, cfg.nb_pos_enc + 2)).astype(np.float32),
         graph.n_nodes_padded))
-    y = jnp.asarray(pad_features(
-        (rng.random(e_real) < 0.7).astype(np.float32), graph.n_edges_padded))
+    y = prepare_edge_features(
+        graph, (rng.random(e_real) < 0.7).astype(np.float32))
 
     params = init_model_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer()
 
     def make_step(backend):
-        @jax.jit
-        def step(params, opt_state, e_feat, pe, y):
+        # NB: the graph is a jit *argument*, never a closure capture —
+        # closure-captured device arrays are inlined into the HLO as
+        # constants, and multi-MB constants stall the TPU compiler.
+        @functools.partial(jax.jit, static_argnames=("backend",))
+        def step(params, opt_state, graph, e_feat, pe, y, backend=backend):
             def loss_fn(p):
                 logits = model_forward(
                     p, graph, e_feat, pe, batch_norm=True, backend=backend,
@@ -111,12 +115,12 @@ def main() -> None:
         p = params
         s = set_lr(opt.init(params), 1e-3)
         t0 = time.time()
-        p, s, loss = step(p, s, e_feat, pe, y)
+        p, s, loss = step(p, s, graph, e_feat, pe, y)
         jax.block_until_ready(loss)
         log(f"{backend}: compile+first step {time.time()-t0:.1f}s loss={float(loss):.4f}")
         t0 = time.time()
         for _ in range(iters):
-            p, s, loss = step(p, s, e_feat, pe, y)
+            p, s, loss = step(p, s, graph, e_feat, pe, y)
         jax.block_until_ready(loss)
         dt = (time.time() - t0) / iters
         eps = e_real / dt
@@ -126,7 +130,7 @@ def main() -> None:
     primary = "pallas" if on_tpu else "xla"
     eps_primary = bench(primary)
     vs = 1.0
-    if on_tpu:
+    if on_tpu and os.environ.get("BENCH_COMPARE", "1") != "0":
         eps_xla = bench("xla")
         vs = eps_primary / eps_xla
 

@@ -7,6 +7,13 @@ XLA can compile once and reuse: padded COO edge lists, dual CSR layouts
 aggregation on the reverse graph, cf. ``layers/gated_gcn_full.py:115``), and
 explicit node/edge validity masks so padding never contaminates statistics.
 
+**Canonical edge order is dst-sorted.** All device-side per-edge tensors
+(features, labels, gates, messages) live in this order, so the forward
+aggregation — the hot segment-sum — streams edges contiguously with no
+permutation; only the reverse direction permutes (into src-sorted order).
+``edge_perm`` maps original (parser) edge ids to canonical positions for
+feature canonicalization, ``edge_inv_perm`` maps back for decoding.
+
 Domain invariants preserved from the reference:
   * node pairing: read ``i`` yields forward-strand node ``2i`` and
     reverse-complement node ``2i+1``; ``node ^ 1`` flips strand
@@ -40,13 +47,17 @@ def _round_up(x: int, m: int) -> int:
 class CSR:
     """One directional layout of the edge set.
 
-    ``order`` is a permutation of edge ids such that the keyed endpoint
-    (dst for the forward layout, src for the backward layout) is
-    non-decreasing; ``offsets[v]:offsets[v+1]`` indexes the sorted edge
-    range keyed on node ``v``.
+    ``order`` is a permutation from canonical edge order into this layout's
+    sorted order (``identity=True`` means canonical order already IS this
+    layout — no permutation needed, the fast path). ``inv_order`` is the
+    inverse permutation; it makes the VJP of the sort a *gather* instead of
+    the scatter XLA would otherwise emit. ``offsets[v]:offsets[v+1]``
+    indexes the sorted edge range keyed on node ``v``.
     """
 
-    order: jax.Array  # int32[E_pad] permutation of edge ids
+    identity: bool = dataclasses.field(metadata=dict(static=True))
+    order: jax.Array  # int32[E_pad]
+    inv_order: jax.Array  # int32[E_pad]
     offsets: jax.Array  # int32[N_pad + 1]
     segment_ids: jax.Array  # int32[E_pad] keyed endpoint in sorted order
 
@@ -54,7 +65,7 @@ class CSR:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AssemblyGraph:
-    """Padded, static-shape assembly graph.
+    """Padded, static-shape assembly graph (canonical = dst-sorted edges).
 
     All arrays are device-ready; ``n_nodes``/``n_edges`` are the *real*
     (unpadded) counts and are static Python ints (jit-constant).
@@ -63,13 +74,16 @@ class AssemblyGraph:
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
 
-    src: jax.Array  # int32[E_pad]
-    dst: jax.Array  # int32[E_pad]
+    src: jax.Array  # int32[E_pad] canonical order
+    dst: jax.Array  # int32[E_pad] canonical order (non-decreasing on real edges)
     node_mask: jax.Array  # bool[N_pad]
     edge_mask: jax.Array  # bool[E_pad]
 
-    by_dst: CSR  # forward aggregation layout (in-edges contiguous)
-    by_src: CSR  # backward aggregation layout (out-edges contiguous)
+    by_dst: CSR  # forward aggregation layout (identity: canonical order)
+    by_src: CSR  # backward aggregation layout (permutation from canonical)
+
+    edge_perm: jax.Array  # int32[E_pad]: canonical[i] = original[edge_perm[i]]
+    edge_inv_perm: jax.Array  # int32[E_pad]: original[j] = canonical[edge_inv_perm[j]]
 
     @property
     def n_nodes_padded(self) -> int:
@@ -80,18 +94,20 @@ class AssemblyGraph:
         return self.edge_mask.shape[0]
 
 
-def _build_csr(key: np.ndarray, edge_mask: np.ndarray, n_pad: int) -> CSR:
-    """Sort edges by ``key`` (stable), padding keys sort last."""
-    sort_key = np.where(edge_mask, key, PAD_SEGMENT)
-    order = np.argsort(sort_key, kind="stable").astype(np.int32)
-    sorted_ids = sort_key[order].astype(np.int32)
-    # offsets[v] = number of edges with key < v (real edges only)
-    real_keys = sort_key[order][edge_mask[order]]
-    offsets = np.searchsorted(real_keys, np.arange(n_pad + 1)).astype(np.int32)
+def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
+                     order: np.ndarray, identity: bool) -> CSR:
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(len(order), dtype=np.int32)
+    n_real = int((key_sorted < PAD_SEGMENT).sum())
+    offsets = np.searchsorted(
+        key_sorted[:n_real], np.arange(n_pad + 1)
+    ).astype(np.int32)
     return CSR(
+        identity=identity,
         order=jnp.asarray(order),
+        inv_order=jnp.asarray(inv_order),
         offsets=jnp.asarray(offsets),
-        segment_ids=jnp.asarray(sorted_ids),
+        segment_ids=jnp.asarray(key_sorted),
     )
 
 
@@ -102,7 +118,8 @@ def build_graph(
     node_pad_multiple: int = NODE_PAD_MULTIPLE,
     edge_pad_multiple: int = EDGE_PAD_MULTIPLE,
 ) -> AssemblyGraph:
-    """Build a padded :class:`AssemblyGraph` from COO edge arrays."""
+    """Build a padded :class:`AssemblyGraph` from COO edge arrays
+    (in any order; they are canonicalized to dst-sorted internally)."""
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     n_edges = int(src.shape[0])
@@ -113,23 +130,66 @@ def build_graph(
     dst_p = np.zeros(e_pad, dtype=np.int32)
     src_p[:n_edges] = src
     dst_p[:n_edges] = dst
-
-    node_mask = np.arange(n_pad) < n_nodes
     edge_mask = np.arange(e_pad) < n_edges
 
-    by_dst = _build_csr(dst_p, edge_mask, n_pad)
-    by_src = _build_csr(src_p, edge_mask, n_pad)
+    # canonicalize: stable sort by dst, padding last
+    dst_key = np.where(edge_mask, dst_p, PAD_SEGMENT)
+    edge_perm = np.argsort(dst_key, kind="stable").astype(np.int32)
+    edge_inv_perm = np.empty_like(edge_perm)
+    edge_inv_perm[edge_perm] = np.arange(e_pad, dtype=np.int32)
+    src_c = src_p[edge_perm]
+    dst_c = dst_p[edge_perm]
+    dst_key_c = dst_key[edge_perm]
+    # padding is stably sorted to the tail, so the mask stays a prefix mask
+    assert bool(edge_mask[edge_perm][:n_edges].all())
 
+    by_dst = _csr_from_sorted(
+        dst_key_c, n_pad, e_pad,
+        order=np.arange(e_pad, dtype=np.int32), identity=True,
+    )
+    src_key = np.where(edge_mask, src_c, PAD_SEGMENT)
+    src_order = np.argsort(src_key, kind="stable").astype(np.int32)
+    by_src = _csr_from_sorted(
+        src_key[src_order], n_pad, e_pad, order=src_order, identity=False,
+    )
+
+    node_mask = np.arange(n_pad) < n_nodes
     return AssemblyGraph(
         n_nodes=n_nodes,
         n_edges=n_edges,
-        src=jnp.asarray(src_p),
-        dst=jnp.asarray(dst_p),
+        src=jnp.asarray(src_c),
+        dst=jnp.asarray(dst_c),
         node_mask=jnp.asarray(node_mask),
         edge_mask=jnp.asarray(edge_mask),
         by_dst=by_dst,
         by_src=by_src,
+        edge_perm=jnp.asarray(edge_perm),
+        edge_inv_perm=jnp.asarray(edge_inv_perm),
     )
+
+
+def canonicalize_edge_features(graph: AssemblyGraph, arr: np.ndarray) -> np.ndarray:
+    """Reorder a padded per-edge array from original (parser) order into
+    the graph's canonical (dst-sorted) order."""
+    return np.asarray(arr)[np.asarray(graph.edge_perm)]
+
+
+def decanonicalize_edge_values(graph: AssemblyGraph, arr: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`canonicalize_edge_features` (device → parser order)."""
+    return np.asarray(arr)[np.asarray(graph.edge_inv_perm)]
+
+
+def prepare_edge_features(
+    graph: AssemblyGraph, arr: np.ndarray, dtype=np.float32
+) -> jnp.ndarray:
+    """Unpadded per-edge array (parser order) → padded canonical device array."""
+    padded = pad_features(arr, graph.n_edges_padded, dtype)
+    return jnp.asarray(canonicalize_edge_features(graph, padded))
+
+
+def extract_edge_values(graph: AssemblyGraph, arr) -> np.ndarray:
+    """Padded canonical device array → unpadded parser-order numpy array."""
+    return decanonicalize_edge_values(graph, np.asarray(arr))[: graph.n_edges]
 
 
 def pad_features(
@@ -152,6 +212,4 @@ def degrees(graph: AssemblyGraph) -> tuple[jax.Array, jax.Array]:
     ones = graph.edge_mask.astype(jnp.float32)
     in_deg = jax.ops.segment_sum(ones, graph.dst, num_segments=n_pad)
     out_deg = jax.ops.segment_sum(ones, graph.src, num_segments=n_pad)
-    # Padded edges carry src=dst=0; subtracting is unnecessary because the
-    # mask already zeroed their contribution.
     return in_deg, out_deg

@@ -26,7 +26,12 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from gnnome_tpu.core.graph import AssemblyGraph, build_graph, pad_features
+from gnnome_tpu.core.graph import (
+    AssemblyGraph,
+    build_graph,
+    pad_features,
+    prepare_edge_features,
+)
 from gnnome_tpu.data import oracle
 from gnnome_tpu.data.parser import ParsedGraph, adjacency_dicts, parse_csv
 from gnnome_tpu.data.pe import pagerank_pe_np
@@ -40,13 +45,19 @@ _EDGE_ATTRS = "prefix_length overlap_similarity overlap_length".split()
 
 @dataclasses.dataclass
 class GraphSample:
-    """One device-ready graph with features, plus host metadata."""
+    """One device-ready graph with features, plus host metadata.
+
+    Device arrays (``e_feat``, ``y``) are in the graph's *canonical*
+    (dst-sorted) edge order; host arrays (``src``, ``dst``,
+    ``prefix_length`` …) stay in parser order for decoding. Use
+    ``core.graph.extract_edge_values`` to map device edge values back.
+    """
 
     idx: int
     graph: AssemblyGraph
-    e_feat: jnp.ndarray  # f32[E_pad, 2] z-normed [ol_len, ol_sim]
+    e_feat: jnp.ndarray  # f32[E_pad, 2] z-normed [ol_len, ol_sim] (canonical)
     pe: jnp.ndarray  # f32[N_pad, nb_pos_enc + 2] = [in_deg ‖ out_deg ‖ PR]
-    y: jnp.ndarray  # f32[E_pad] edge labels (0 on padding)
+    y: jnp.ndarray  # f32[E_pad] edge labels, canonical order (0 on padding)
     # host-side (decoding / evaluation)
     prefix_length: np.ndarray  # int64[E]
     read_length: np.ndarray  # int64[N]
@@ -100,9 +111,9 @@ def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16) -> GraphSample:
     return GraphSample(
         idx=idx,
         graph=graph,
-        e_feat=jnp.asarray(pad_features(e_feat, graph.n_edges_padded)),
+        e_feat=prepare_edge_features(graph, e_feat),
         pe=jnp.asarray(pad_features(pe, graph.n_nodes_padded)),
-        y=jnp.asarray(pad_features(z["y"], graph.n_edges_padded)),
+        y=prepare_edge_features(graph, z["y"]),
         prefix_length=z["prefix_length"],
         read_length=z["read_length"],
         overlap_length=z["overlap_length"],

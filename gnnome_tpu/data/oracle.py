@@ -27,6 +27,56 @@ from typing import Dict, List, Set, Tuple
 import numpy as np
 
 
+def assert_strand(read_strand: np.ndarray, walk, log_fn=print) -> bool:
+    """Debug check: all nodes of a walk share the first node's strand
+    (``algorithms.py:12-19``). Returns True when consistent."""
+    ok = True
+    org = read_strand[walk[0]]
+    for idx, node in enumerate(walk[1:]):
+        if read_strand[node] != org:
+            log_fn(f"strand mismatch at walk index {idx}, node {node}")
+            ok = False
+    return ok
+
+
+def assert_overlap(
+    read_start: np.ndarray, read_end: np.ndarray, read_strand: np.ndarray,
+    walk, log_fn=print,
+) -> bool:
+    """Debug check: consecutive walk nodes genuinely overlap in genome
+    coordinates (``algorithms.py:22-39``)."""
+    ok = True
+    for idx, (src, dst) in enumerate(zip(walk[:-1], walk[1:])):
+        if read_strand[src] == read_strand[dst] == 1 and read_start[dst] > read_end[src]:
+            log_fn(f"nodes not connected at {idx}: {src}->{dst} "
+                   f"(end {read_end[src]} < start {read_start[dst]})")
+            ok = False
+        if read_strand[src] == read_strand[dst] == -1 and read_end[dst] < read_start[src]:
+            log_fn(f"nodes not connected at {idx}: {src}->{dst}")
+            ok = False
+    return ok
+
+
+def interval_union(read_strand, read_start, read_end):
+    """Merged genome intervals covered by positive-strand nodes
+    (``utils.py... algorithms — reference: algorithms.interval_union,
+    algorithms.py:42-57``)."""
+    intervals = sorted(
+        [int(s), int(e)]
+        for st, s, e in zip(read_strand, read_start, read_end)
+        if st == 1
+    )
+    if not intervals:
+        return []
+    result = [intervals[0]]
+    for lo, hi in intervals[1:]:
+        if lo <= result[-1][1]:
+            result[-1][1] = max(result[-1][1], hi)
+        else:
+            result.append([lo, hi])
+    return result
+
+
 def dfs(
     read_start: np.ndarray,
     read_end: np.ndarray,

@@ -245,6 +245,14 @@ def parse_csv(csv_path: str, reads_path: str, gfa_path: Optional[str] = None) ->
     )
 
 
+def print_pairwise(src: np.ndarray, dst: np.ndarray, path: str) -> None:
+    """Export edges as a pairwise TXT for Graphia visualization
+    (``graph_parser.py:76-92``)."""
+    with open(path, "w") as f:
+        for s, d in zip(src, dst):
+            f.write(f"{int(s)}\t{int(d)}\n")
+
+
 def adjacency_dicts(src: np.ndarray, dst: np.ndarray, n: int):
     """(successors, predecessors, edge_index) dicts for host-side decoding
     (``graph_parser.py:13-73``)."""

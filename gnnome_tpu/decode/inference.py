@@ -68,7 +68,10 @@ def inference(
             params, g, sample.e_feat, sample.pe,
             batch_norm=cfg.model.batch_norm, backend=cfg.train.backend,
         )
-        scores = np.asarray(logits)[: g.n_edges].astype(np.float64)
+        # device scores are canonical-order; decode indexes parser order
+        from gnnome_tpu.core.graph import extract_edge_values
+
+        scores = extract_edge_values(g, logits).astype(np.float64)
         log_fn(f"graph {idx}: scored {g.n_edges} edges in {time.time()-t0:.2f}s")
 
         labels = np.asarray(sample.y)[: g.n_edges]

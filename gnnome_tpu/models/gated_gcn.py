@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from gnnome_tpu.core.graph import AssemblyGraph
 from gnnome_tpu.models.common import init_linear, init_norm, linear
 from gnnome_tpu.ops.norm import masked_batch_norm, masked_layer_norm
-from gnnome_tpu.ops.segment import gated_aggregate
+from gnnome_tpu.ops.segment import gated_aggregate, gather_by_endpoint
 
 
 def init_gated_gcn_layer(key: jax.Array, dim: int, dtype=jnp.float32) -> Dict:
@@ -68,8 +68,15 @@ def gated_gcn_layer(
     b2h = linear(params["B2"], h)
     b3e = linear(params["B3"], e)
 
+    n_pad = graph.n_nodes_padded
     # SDDMM: per-edge gate from endpoint features (shared by both directions).
-    gate = jnp.take(b1h, graph.src, axis=0) + jnp.take(b2h, graph.dst, axis=0) + b3e
+    # gather_by_endpoint's VJP is a Pallas segment-sum over the transpose
+    # CSR — no XLA scatter in the backward pass.
+    gate = (
+        gather_by_endpoint(b1h, graph.src, graph.by_src, n_pad, backend)
+        + gather_by_endpoint(b2h, graph.dst, graph.by_dst, n_pad, backend)
+        + b3e
+    )
     if batch_norm:
         gate = masked_batch_norm(
             gate,
@@ -83,16 +90,17 @@ def gated_gcn_layer(
     e_new = jax.nn.relu(gate) + e_in
     sigma = jax.nn.sigmoid(e_new)
 
-    n_pad = graph.n_nodes_padded
     # Forward: node i sums σ·A2h over its in-edges (j → i), keyed by dst.
     h_fwd = gated_aggregate(
-        a2h, sigma, graph.src, graph.by_dst, n_pad, backend=backend, eps=eps
+        a2h, sigma, graph.src, graph.by_src, graph.by_dst, n_pad,
+        backend=backend, eps=eps,
     )
     # Backward: node j sums σ·A3h over its out-edges (j → i), keyed by src —
     # the ``dgl.reverse`` pass of the reference without materializing a
     # transposed graph (the by_src CSR *is* the transpose).
     h_bwd = gated_aggregate(
-        a3h, sigma, graph.dst, graph.by_src, n_pad, backend=backend, eps=eps
+        a3h, sigma, graph.dst, graph.by_dst, graph.by_src, n_pad,
+        backend=backend, eps=eps,
     )
 
     h = a1h + h_fwd + h_bwd

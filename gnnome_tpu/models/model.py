@@ -49,10 +49,21 @@ def init_model_params(key: jax.Array, cfg, dtype=jnp.float32) -> Dict:
     return params
 
 
-def score_predictor(params: Dict, graph: AssemblyGraph, h: jax.Array, e: jax.Array) -> jax.Array:
+def score_predictor(
+    params: Dict, graph: AssemblyGraph, h: jax.Array, e: jax.Array,
+    backend=None,
+) -> jax.Array:
     """Per-edge score MLP on [h_src ‖ h_dst ‖ e] (layers/score_predictor.py:12-18)."""
+    from gnnome_tpu.ops.segment import gather_by_endpoint
+
+    n_pad = graph.n_nodes_padded
     feat = jnp.concatenate(
-        [jnp.take(h, graph.src, axis=0), jnp.take(h, graph.dst, axis=0), e], axis=-1
+        [
+            gather_by_endpoint(h, graph.src, graph.by_src, n_pad, backend),
+            gather_by_endpoint(h, graph.dst, graph.by_dst, n_pad, backend),
+            e,
+        ],
+        axis=-1,
     )
     hidden = jax.nn.relu(linear(params["score1"], feat))
     return linear(params["score2"], hidden)[:, 0]
@@ -130,7 +141,7 @@ def model_forward(
         else:
             (h, e), _ = jax.lax.scan(body, (h, e), stacked)
 
-    return score_predictor(params, graph, h, e)
+    return score_predictor(params, graph, h, e, backend=backend)
 
 
 def count_params(params) -> int:

@@ -93,15 +93,20 @@ def _segment_sum_kernel(
 
         for r in range(SUBCHUNKS):
             ids_row = ids_buf[slot, r : r + 1, :]  # [1, LANE]
-            onehot = (ids_row == node_ids).astype(jnp.float32)  # [BN, LANE]
-            # HIGHEST: full-f32 MXU passes — the one-hot is exact 0/1, so
-            # this makes the segment sum bit-faithful to an f32 scatter-add.
-            acc = acc + jnp.dot(
-                onehot,
-                data_buf[slot, r * LANE : (r + 1) * LANE, :],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            onehot = (ids_row == node_ids).astype(jnp.bfloat16)  # [BN, LANE]
+            tile = data_buf[slot, r * LANE : (r + 1) * LANE, :]
+            # Three-term bf16 split (hi+mid+lo ≈ 24 mantissa bits): the
+            # one-hot is exact in bf16, so the segment sum matches an f32
+            # scatter-add to ~1e-7 rel — at half the MXU passes of an
+            # f32-HIGHEST matmul, which was the kernel's bottleneck.
+            data_hi = tile.astype(jnp.bfloat16)
+            rem = tile - data_hi.astype(jnp.float32)
+            data_mid = rem.astype(jnp.bfloat16)
+            data_lo = (rem - data_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            for part in (data_hi, data_mid, data_lo):
+                acc = acc + jnp.dot(
+                    onehot, part, preferred_element_type=jnp.float32
+                )
         return acc
 
     acc = jnp.zeros((block_nodes, out_dim), jnp.float32)

@@ -99,8 +99,15 @@ def prepare_batch(
         return out
 
     batch = ShardedBatch(
-        src=stack(lambda s: pad_to(s.src, e_pad), np.int32),
-        dst=stack(lambda s: pad_to(s.dst, e_pad), np.int32),
+        # canonical-order edge arrays (consistent with e_feat/y in samples)
+        src=stack(
+            lambda s: pad_to(np.asarray(s.graph.src)[: s.graph.n_edges], e_pad),
+            np.int32,
+        ),
+        dst=stack(
+            lambda s: pad_to(np.asarray(s.graph.dst)[: s.graph.n_edges], e_pad),
+            np.int32,
+        ),
         edge_mask=stack(
             lambda s: np.arange(e_pad) < s.graph.n_edges, bool
         ),

@@ -242,6 +242,41 @@ def predict(
     return results
 
 
+def predict_baselines(
+    test_path: str, out: str, model_path: Optional[str] = None,
+    cfg: Optional[Config] = None, log_fn=print,
+):
+    """Stage 4 with non-learned controls: additionally decodes by raw
+    overlap_length / overlap_similarity and reports all three
+    (``pipeline.py:349-368``; note the reference's version crashes on a
+    typo, ``pipeline.py:352`` — fixed here)."""
+    from gnnome_tpu.decode.inference import inference
+    from gnnome_tpu.evaluation import assembly as asm
+
+    cfg = cfg or Config()
+    if model_path is None:
+        model_path = os.path.join(cfg.train.pretrained_dir, f"model_{out}.npz")
+    inference(test_path, model_path, cfg, baselines=True, log_fn=log_fn)
+    with open(os.path.join(test_path, "info", "g_to_chr.pkl"), "rb") as f:
+        g_to_chr = pickle.load(f)
+    results = {}
+    for idx, chr_n in g_to_chr.items():
+        for label, suffix in (("GNN scores", ""),
+                              ("Baseline: overlap length", "_ol_len"),
+                              ("Baseline: overlap similarity", "_ol_sim")):
+            fasta = os.path.join(test_path, "assembly", f"{idx}_assembly{suffix}.fasta")
+            contigs = []
+            if os.path.exists(fasta):
+                from gnnome_tpu.data.builder import parse_fasta
+
+                contigs = parse_fasta(fasta)
+            log_fn(f"{label}:")
+            stats = asm.quick_evaluation(contigs, chr_n)
+            asm.print_summary(test_path, f"{idx}{suffix}", chr_n, *stats, log_fn=log_fn)
+            results[(idx, suffix)] = stats
+    return results
+
+
 def run_pipeline(
     data_path: str = "data",
     ref_path: str = "data/references",

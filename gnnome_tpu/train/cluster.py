@@ -18,7 +18,12 @@ from typing import Callable, Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.core.graph import (
+    build_graph,
+    extract_edge_values,
+    pad_features,
+    prepare_edge_features,
+)
 from gnnome_tpu.data.dataset import GraphSample
 from gnnome_tpu.parallel.partition import partition_nodes
 
@@ -66,8 +71,10 @@ def make_cluster_sampler(
         rng.shuffle(cluster_ids)
 
         pe_full = np.asarray(sample.pe)
-        e_full = np.asarray(sample.e_feat)
-        y_full = np.asarray(sample.y)
+        # device features are canonical-order; bring back to parser order so
+        # edge_ids from induced_subgraph (parser order) index them correctly
+        e_full = extract_edge_values(g, sample.e_feat)
+        y_full = extract_edge_values(g, sample.y)
 
         # shared padded bucket so every batch compiles to the same shapes
         n_batches = math.ceil(actual_parts / batch_size)
@@ -91,15 +98,11 @@ def make_cluster_sampler(
                 GraphSample(
                     idx=sample.idx,
                     graph=sub_g,
-                    e_feat=jnp.asarray(
-                        pad_features(e_full[edge_ids], sub_g.n_edges_padded)
-                    ),
+                    e_feat=prepare_edge_features(sub_g, e_full[edge_ids]),
                     pe=jnp.asarray(
                         pad_features(pe_full[node_ids], sub_g.n_nodes_padded)
                     ),
-                    y=jnp.asarray(
-                        pad_features(y_full[edge_ids], sub_g.n_edges_padded)
-                    ),
+                    y=prepare_edge_features(sub_g, y_full[edge_ids]),
                     prefix_length=sample.prefix_length[edge_ids],
                     read_length=sample.read_length[node_ids],
                     overlap_length=sample.overlap_length[edge_ids],

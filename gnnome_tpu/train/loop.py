@@ -257,6 +257,32 @@ def train(
 
     graphs = list(ds_train)
     t0 = time.time()
+    try:
+        _run_epochs(
+            graphs, ds_valid, params, opt_state, pos_weight, cfg, lr,
+            scheduler, metrics_logger, ckpt_path, best_path, start_epoch,
+            loss_train_hist, loss_valid_hist, cluster_fn, log_fn, t0,
+        )
+    except KeyboardInterrupt:
+        # clean exit, state already checkpointed each epoch (train.py:531-533)
+        log_fn("KeyboardInterrupt — exiting (checkpoint is current)")
+
+    metrics_logger.close()
+    return {
+        "best_model": best_path,
+        "checkpoint": ckpt_path,
+        "loss_train": loss_train_hist,
+        "loss_valid": loss_valid_hist,
+        "pos_to_neg_ratio": ratio,
+    }
+
+
+def _run_epochs(
+    graphs, ds_valid, params, opt_state, pos_weight, cfg, lr, scheduler,
+    metrics_logger, ckpt_path, best_path, start_epoch, loss_train_hist,
+    loss_valid_hist, cluster_fn, log_fn, t0,
+):
+    tc = cfg.train
     for epoch in range(start_epoch, tc.num_epochs):
         random.shuffle(graphs)
         opt_state = set_lr(opt_state, lr)
@@ -302,12 +328,3 @@ def train(
             },
         )
         lr = scheduler.step(valid_m["loss"], lr)
-
-    metrics_logger.close()
-    return {
-        "best_model": best_path,
-        "checkpoint": ckpt_path,
-        "loss_train": loss_train_hist,
-        "loss_valid": loss_valid_hist,
-        "pos_to_neg_ratio": ratio,
-    }

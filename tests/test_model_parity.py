@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from gnnome_tpu.config import ModelConfig
-from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.core.graph import (build_graph, extract_edge_values,
+                                   pad_features, prepare_edge_features)
 from gnnome_tpu.models.gated_gcn import gated_gcn_layer, init_gated_gcn_layer
 from gnnome_tpu.models.model import count_params, init_model_params, model_forward
 
@@ -38,10 +39,10 @@ def test_single_layer_parity(rng, batch_norm):
     e = rng.standard_normal((len(src), d)).astype(np.float32)
 
     h_pad = pad_features(h, g.n_nodes_padded)
-    e_pad = pad_features(e, g.n_edges_padded)
+    e_can = prepare_edge_features(g, e)
 
     h_out, e_out = gated_gcn_layer(
-        params, g, jnp.asarray(h_pad), jnp.asarray(e_pad),
+        params, g, jnp.asarray(h_pad), e_can,
         batch_norm=batch_norm, backend="xla",
     )
     h_ref, e_ref = dense_gated_gcn_layer(
@@ -49,7 +50,7 @@ def test_single_layer_parity(rng, batch_norm):
         e.astype(np.float64), batch_norm,
     )
     np.testing.assert_allclose(np.asarray(h_out)[:n], h_ref, rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(e_out)[: len(src)], e_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(extract_edge_values(g, e_out), e_ref, rtol=2e-4, atol=2e-4)
 
 
 def test_full_model_parity(rng):
@@ -65,7 +66,7 @@ def test_full_model_parity(rng):
 
     scores = model_forward(
         params, g,
-        jnp.asarray(pad_features(e_feat, g.n_edges_padded)),
+        prepare_edge_features(g, e_feat),
         jnp.asarray(pad_features(pe, g.n_nodes_padded)),
         backend="xla",
     )
@@ -73,7 +74,7 @@ def test_full_model_parity(rng):
         to_numpy_params(params), src, dst, n,
         e_feat.astype(np.float64), pe.astype(np.float64),
     )
-    np.testing.assert_allclose(np.asarray(scores)[: len(src)], ref, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(extract_edge_values(g, scores), ref, rtol=5e-4, atol=5e-4)
 
 
 def test_param_count_matches_reference_scale():
@@ -98,9 +99,9 @@ def test_padding_invariance(rng):
         g = build_graph(src, dst, n, node_pad_multiple=node_mult, edge_pad_multiple=edge_mult)
         s = model_forward(
             params, g,
-            jnp.asarray(pad_features(e_feat, g.n_edges_padded)),
+            prepare_edge_features(g, e_feat),
             jnp.asarray(pad_features(pe, g.n_nodes_padded)),
             backend="xla",
         )
-        outs.append(np.asarray(s)[: len(src)])
+        outs.append(extract_edge_values(g, s))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)

@@ -3,7 +3,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.core.graph import (build_graph, pad_features,
+                                   prepare_edge_features)
 from gnnome_tpu.ops.segment import gated_aggregate, segment_sum_csr
 
 
@@ -24,12 +25,12 @@ def test_segment_sum_xla_matches_dense(rng):
     src, dst, g = make_graph(rng)
     d = 16
     data = rng.standard_normal((len(src), d)).astype(np.float32)
-    data_pad = pad_features(data, g.n_edges_padded)
-    out = segment_sum_csr(jnp.asarray(data_pad), g.by_dst, g.n_nodes_padded, backend="xla")
+    data_pad = prepare_edge_features(g, data)
+    out = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend="xla")
     ref = dense_segment_sum(data, dst, g.n_nodes)
     np.testing.assert_allclose(np.asarray(out)[: g.n_nodes], ref, rtol=1e-5, atol=1e-5)
     # transpose layout keyed by src
-    out_b = segment_sum_csr(jnp.asarray(data_pad), g.by_src, g.n_nodes_padded, backend="xla")
+    out_b = segment_sum_csr(data_pad, g.by_src, g.n_nodes_padded, backend="xla")
     ref_b = dense_segment_sum(data, src, g.n_nodes)
     np.testing.assert_allclose(np.asarray(out_b)[: g.n_nodes], ref_b, rtol=1e-5, atol=1e-5)
 
@@ -38,7 +39,7 @@ def test_segment_sum_pallas_interpret_matches_xla(rng):
     src, dst, g = make_graph(rng, n=100, e=700)
     d = 128
     data = rng.standard_normal((len(src), d)).astype(np.float32)
-    data_pad = jnp.asarray(pad_features(data, g.n_edges_padded))
+    data_pad = prepare_edge_features(g, data)
     ref = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend="xla")
     out = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend="pallas_interpret")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
@@ -48,7 +49,7 @@ def test_pallas_segment_sum_grad(rng):
     src, dst, g = make_graph(rng, n=50, e=300)
     d = 128
     data = rng.standard_normal((len(src), d)).astype(np.float32)
-    data_pad = jnp.asarray(pad_features(data, g.n_edges_padded))
+    data_pad = prepare_edge_features(g, data)
 
     def loss(x, backend):
         out = segment_sum_csr(x, g.by_dst, g.n_nodes_padded, backend=backend)
@@ -64,10 +65,10 @@ def test_gated_aggregate_matches_manual(rng):
     d = 8
     vals = rng.standard_normal((g.n_nodes_padded, d)).astype(np.float32)
     gate = rng.uniform(0.1, 1.0, (len(src), d)).astype(np.float32)
-    gate_pad = pad_features(gate, g.n_edges_padded)
+    gate_pad = prepare_edge_features(g, gate)
 
     out = gated_aggregate(
-        jnp.asarray(vals), jnp.asarray(gate_pad), g.src, g.by_dst,
+        jnp.asarray(vals), gate_pad, g.src, g.by_src, g.by_dst,
         g.n_nodes_padded, backend="xla",
     )
     num = dense_segment_sum(gate * vals[src], dst, g.n_nodes)
@@ -86,7 +87,7 @@ def test_empty_and_high_degree_segments(rng):
     g = build_graph(src, dst, n)
     d = 128
     data = rng.standard_normal((e, d)).astype(np.float32)
-    data_pad = jnp.asarray(pad_features(data, g.n_edges_padded))
+    data_pad = prepare_edge_features(g, data)
     ref = dense_segment_sum(data, dst, n)
     for backend in ("xla", "pallas_interpret"):
         out = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend=backend)

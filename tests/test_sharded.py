@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import pytest
 
 from gnnome_tpu.config import ModelConfig
-from gnnome_tpu.core.graph import build_graph, pad_features
+from gnnome_tpu.core.graph import (build_graph, pad_features,
+                                   prepare_edge_features)
 from gnnome_tpu.data.dataset import GraphSample
 from gnnome_tpu.evaluation.metrics import bce_with_logits
 from gnnome_tpu.models.model import init_model_params, model_forward
@@ -35,9 +36,9 @@ def make_sample(rng, n=100, e=600, idx=0, nb_pos_enc=8):
     return GraphSample(
         idx=idx,
         graph=g,
-        e_feat=jnp.asarray(pad_features(e_feat, g.n_edges_padded)),
+        e_feat=prepare_edge_features(g, e_feat),
         pe=jnp.asarray(pad_features(pe, g.n_nodes_padded)),
-        y=jnp.asarray(pad_features(y, g.n_edges_padded)),
+        y=prepare_edge_features(g, y),
         prefix_length=np.zeros(e_real, np.int64),
         read_length=np.zeros(n, np.int64),
         overlap_length=np.zeros(e_real, np.int64),
