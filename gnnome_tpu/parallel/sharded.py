@@ -1,31 +1,41 @@
 """SPMD sharded training: full-graph GatedGCN across a device mesh.
 
 This is the distributed execution path the reference entirely lacks
-(single device only, ``hyperparameters.py:25``; SURVEY.md §2c). Design:
+(single device only, ``hyperparameters.py:25``; SURVEY.md §2c).
 
-  * **nodes** are block-sharded over the ``graph`` mesh axis — every dense
+Owner-computes design (v2):
+
+  * **nodes** are block-sharded over the ``graph`` mesh axis; every dense
     projection (the six per-layer matmuls, ``layers/gated_gcn_full.py:107-113``)
     runs on its local node block (MXU, no comm);
-  * **edges** are block-sharded over ``graph`` — the SDDMM gate, σ, and
-    messages are edge-local;
-  * endpoint gathers need remote node features → ``all_gather`` over ICI
-    (4 tensors/layer); segment-sums produce per-device partials over the
-    full node space → ``psum_scatter`` back to node blocks. This is the
-    standard TP-style schedule; the planned refinement (halo exchange of
-    only boundary nodes, computed from the partitioner's edge-cut) replaces
-    the all_gather without changing this module's interface;
-  * **graphs** are sharded over the ``data`` axis (one graph per replica
-    group); the loss mean and gradients reduce over both axes.
+  * **edges live in two shardings**: the *fwd* sharding assigns each edge
+    to the owner of its ``dst`` (edges arrive dst-sorted — contiguous
+    slices of the canonical order), the *bwd* sharding to the owner of its
+    ``src``. Each aggregation is then a fully *local* sorted segment-sum
+    into the device's own node block — the Pallas kernel runs unchanged
+    per shard, and no cross-device scatter/reduce of node tensors exists;
+  * the per-edge gate is computed (redundantly) in both shardings from
+    all-gathered endpoint projections — duplicated elementwise FLOPs in
+    exchange for zero edge-state communication;
+  * edge-BatchNorm statistics are computed once over the fwd sharding
+    (each real edge exactly once, psum over ``graph``) and applied to both
+    shardings, so numerics match single-device execution exactly;
+  * the only per-layer collectives are 4 ``all_gather`` of [N/P, D] node
+    projections (+1 for the score head) whose autodiff transposes are
+    ``psum_scatter`` — all riding ICI. A future refinement restricts the
+    all_gather to halo (boundary) nodes computed from the partitioner's
+    edge cut;
+  * **graphs** shard over the ``data`` axis (one graph per replica group);
+    loss means and gradients reduce over both axes.
 
-Normalization statistics psum over ``graph`` so sharded execution is
-bitwise-equivalent (up to reduction order) to single-device execution —
-verified in tests/test_sharded.py.
+Numerical equality with single-device execution is asserted in
+tests/test_sharded.py.
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,51 +43,98 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from gnnome_tpu.core.graph import AssemblyGraph
+from gnnome_tpu.core.graph import CSR, PAD_SEGMENT, AssemblyGraph
 from gnnome_tpu.data.dataset import GraphSample
-from gnnome_tpu.evaluation.metrics import bce_with_logits
 from gnnome_tpu.models.common import linear
-from gnnome_tpu.ops.norm import masked_batch_norm, masked_layer_norm
+from gnnome_tpu.ops.norm import masked_moments
+from gnnome_tpu.ops.segment import segment_sum_csr
 
 AXIS_GRAPH = "graph"
 AXIS_DATA = "data"
-
-
-# ---------------------------------------------------------------------------
-# batch preparation
-# ---------------------------------------------------------------------------
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class ShardedBatch:
-    """Stacked, padded graph arrays with a leading data-axis dimension.
-
-    All shapes: nodes [B, N_pad], edges [B, E_pad]; N_pad and E_pad are
-    common bucket sizes divisible by the graph-axis size.
-    """
-
-    src: jax.Array  # int32[B, E]
-    dst: jax.Array  # int32[B, E]
-    edge_mask: jax.Array  # bool[B, E]
-    node_mask: jax.Array  # bool[B, N]
-    e_feat: jax.Array  # f32[B, E, 2]
-    pe: jax.Array  # f32[B, N, pe+2]
-    y: jax.Array  # f32[B, E]
-
-    @property
-    def n_nodes_padded(self) -> int:
-        return self.node_mask.shape[1]
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# batch preparation: dual edge sharding with per-shard local CSR
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgeShard:
+    """One direction's edge sharding. Leading dims: [B, P, E_bucket]."""
+
+    src: jax.Array  # int32 global src ids
+    dst: jax.Array  # int32 global dst ids
+    mask: jax.Array  # bool
+    key_local: jax.Array  # int32: keyed endpoint − node_base (PAD_SEGMENT pad)
+    offsets: jax.Array  # int32 [B, P, N_local + 1] local CSR row pointers
+    e_feat: jax.Array  # f32 [B, P, E_bucket, 2]
+    y: jax.Array  # f32 [B, P, E_bucket] (labels; meaningful in fwd shard)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedBatch:
+    node_mask: jax.Array  # bool [B, N_pad]
+    pe: jax.Array  # f32 [B, N_pad, pe+2]
+    fwd: EdgeShard  # edges owned by dst block, dst-sorted
+    bwd: EdgeShard  # edges owned by src block, src-sorted
+
+    @property
+    def n_nodes_padded(self) -> int:
+        return self.node_mask.shape[1]
+
+
+def _build_edge_shard(
+    order: np.ndarray,  # permutation of canonical indices into key-sorted order
+    key_sorted: np.ndarray,  # sorted keyed endpoint (PAD_SEGMENT on padding)
+    src_c: np.ndarray,
+    dst_c: np.ndarray,
+    e_feat_c: np.ndarray,
+    y_c: np.ndarray,
+    n_real_edges: int,
+    n_pad: int,
+    n_shards: int,
+    e_bucket: int,
+) -> Dict[str, np.ndarray]:
+    n_local = n_pad // n_shards
+    # shard boundaries in the sorted order: edges with key in block p
+    bounds = np.searchsorted(key_sorted[:n_real_edges],
+                             np.arange(n_shards + 1) * n_local)
+    out = {
+        "src": np.zeros((n_shards, e_bucket), np.int32),
+        "dst": np.zeros((n_shards, e_bucket), np.int32),
+        "mask": np.zeros((n_shards, e_bucket), bool),
+        "key_local": np.full((n_shards, e_bucket), PAD_SEGMENT, np.int32),
+        "offsets": np.zeros((n_shards, n_local + 1), np.int32),
+        "e_feat": np.zeros((n_shards, e_bucket, e_feat_c.shape[-1]), np.float32),
+        "y": np.zeros((n_shards, e_bucket), np.float32),
+    }
+    for p in range(n_shards):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        cnt = hi - lo
+        assert cnt <= e_bucket, (cnt, e_bucket)
+        sel = order[lo:hi]
+        out["src"][p, :cnt] = src_c[sel]
+        out["dst"][p, :cnt] = dst_c[sel]
+        out["mask"][p, :cnt] = True
+        out["key_local"][p, :cnt] = key_sorted[lo:hi] - p * n_local
+        out["e_feat"][p, :cnt] = e_feat_c[sel]
+        out["y"][p, :cnt] = y_c[sel]
+        out["offsets"][p] = np.searchsorted(
+            out["key_local"][p, :cnt], np.arange(n_local + 1)
+        )
+    return out
+
+
 def prepare_batch(
-    samples: list[GraphSample], mesh: Mesh, node_mult: int = 256, edge_mult: int = 512
+    samples: List[GraphSample], mesh: Mesh, edge_bucket_multiple: int = 1024
 ) -> ShardedBatch:
-    """Stack graphs to shared bucket shapes and device_put with the batch
-    sharding (data × graph)."""
+    """Stack graphs into the dual-sharded batch layout and device_put."""
     n_graph = mesh.shape[AXIS_GRAPH]
     n_data = mesh.shape[AXIS_DATA]
     if len(samples) != n_data:
@@ -85,70 +142,96 @@ def prepare_batch(
             f"batch of {len(samples)} graphs must equal data-axis size {n_data} "
             "(one graph per replica group)"
         )
-    node_mult = _round_up(node_mult, 128 * n_graph)
-    edge_mult = _round_up(edge_mult, 128 * n_graph)
-    n_pad = _round_up(max(s.graph.n_nodes for s in samples), node_mult)
-    e_pad = _round_up(max(s.graph.n_edges for s in samples), edge_mult)
 
-    def stack(fn, dtype):
-        return np.stack([fn(s) for s in samples]).astype(dtype)
+    n_pad = _round_up(max(s.graph.n_nodes_padded for s in samples), 128 * n_graph)
 
-    def pad_to(arr, length):
-        out = np.zeros((length,) + arr.shape[1:], dtype=arr.dtype)
-        out[: arr.shape[0]] = arr
-        return out
+    per_graph = []
+    max_bucket = 0
+    for s in samples:
+        g = s.graph
+        e_pad = g.n_edges_padded
+        src_c = np.asarray(g.src)
+        dst_c = np.asarray(g.dst)
+        e_feat_c = np.asarray(s.e_feat)
+        y_c = np.asarray(s.y)
+        n_local = n_pad // n_graph
+
+        # fwd: canonical order is already dst-sorted
+        dst_key = np.where(np.arange(e_pad) < g.n_edges, dst_c, PAD_SEGMENT)
+        fwd_order = np.arange(e_pad)
+        # bwd: src-sorted via the by_src permutation
+        bwd_order = np.asarray(g.by_src.order)
+        src_key = np.asarray(g.by_src.segment_ids)
+
+        # worst-case per-shard edge count for bucketing
+        for key_sorted in (dst_key, src_key):
+            b = np.searchsorted(key_sorted[: g.n_edges],
+                                np.arange(n_graph + 1) * n_local)
+            max_bucket = max(max_bucket, int(np.diff(b).max()) if n_graph else 0)
+        per_graph.append((g, src_c, dst_c, e_feat_c, y_c, dst_key, fwd_order,
+                          src_key, bwd_order))
+
+    e_bucket = _round_up(max(max_bucket, 1), edge_bucket_multiple)
+
+    fwd_stack, bwd_stack, node_masks, pes = [], [], [], []
+    for (g, src_c, dst_c, e_feat_c, y_c, dst_key, fwd_order, src_key,
+         bwd_order) in per_graph:
+        fwd_stack.append(_build_edge_shard(
+            fwd_order, dst_key, src_c, dst_c, e_feat_c, y_c,
+            g.n_edges, n_pad, n_graph, e_bucket,
+        ))
+        bwd_stack.append(_build_edge_shard(
+            bwd_order, src_key, src_c, dst_c, e_feat_c, y_c,
+            g.n_edges, n_pad, n_graph, e_bucket,
+        ))
+        nm = np.zeros(n_pad, bool)
+        nm[: g.n_nodes] = True
+        node_masks.append(nm)
+    # pe stacking (padded to the common n_pad)
+    for s in samples:
+        pe = np.asarray(s.pe)
+        out = np.zeros((n_pad, pe.shape[1]), np.float32)
+        out[: pe.shape[0]] = pe
+        pes.append(out)
+
+    def stack_shard(dicts: List[Dict[str, np.ndarray]]) -> EdgeShard:
+        return EdgeShard(**{
+            k: np.stack([d[k] for d in dicts]) for k in dicts[0]
+        })
 
     batch = ShardedBatch(
-        # canonical-order edge arrays (consistent with e_feat/y in samples)
-        src=stack(
-            lambda s: pad_to(np.asarray(s.graph.src)[: s.graph.n_edges], e_pad),
-            np.int32,
-        ),
-        dst=stack(
-            lambda s: pad_to(np.asarray(s.graph.dst)[: s.graph.n_edges], e_pad),
-            np.int32,
-        ),
-        edge_mask=stack(
-            lambda s: np.arange(e_pad) < s.graph.n_edges, bool
-        ),
-        node_mask=stack(
-            lambda s: np.arange(n_pad) < s.graph.n_nodes, bool
-        ),
-        e_feat=stack(
-            lambda s: pad_to(np.asarray(s.e_feat)[: s.graph.n_edges], e_pad),
-            np.float32,
-        ),
-        pe=stack(
-            lambda s: pad_to(np.asarray(s.pe)[: s.graph.n_nodes], n_pad),
-            np.float32,
-        ),
-        y=stack(
-            lambda s: pad_to(np.asarray(s.y)[: s.graph.n_edges], e_pad),
-            np.float32,
-        ),
-    )
-    specs = batch_pspecs()
-    return ShardedBatch(
-        **{
-            f.name: jax.device_put(
-                getattr(batch, f.name),
-                NamedSharding(mesh, getattr(specs, f.name)),
-            )
-            for f in dataclasses.fields(ShardedBatch)
-        }
+        node_mask=np.stack(node_masks),
+        pe=np.stack(pes),
+        fwd=stack_shard(fwd_stack),
+        bwd=stack_shard(bwd_stack),
     )
 
+    # device placement: [B, ...node dims...] over data; [B, P, ...] over
+    # data × graph
+    node_spec = P(AXIS_DATA, AXIS_GRAPH)
+    pe_spec = P(AXIS_DATA, AXIS_GRAPH, None)
+    shard_specs = EdgeShard(
+        src=P(AXIS_DATA, AXIS_GRAPH), dst=P(AXIS_DATA, AXIS_GRAPH),
+        mask=P(AXIS_DATA, AXIS_GRAPH), key_local=P(AXIS_DATA, AXIS_GRAPH),
+        offsets=P(AXIS_DATA, AXIS_GRAPH),
+        e_feat=P(AXIS_DATA, AXIS_GRAPH),
+        y=P(AXIS_DATA, AXIS_GRAPH),
+    )
 
-def batch_pspecs() -> "ShardedBatch":
-    """PartitionSpecs for every ShardedBatch field (leading dim over data,
-    node/edge dim over graph)."""
-    edge = P(AXIS_DATA, AXIS_GRAPH)
-    node = P(AXIS_DATA, AXIS_GRAPH)
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
     return ShardedBatch(
-        src=edge, dst=edge, edge_mask=edge, node_mask=node,
-        e_feat=P(AXIS_DATA, AXIS_GRAPH, None),
-        pe=P(AXIS_DATA, AXIS_GRAPH, None),
-        y=edge,
+        node_mask=put(batch.node_mask, node_spec),
+        pe=put(batch.pe, pe_spec),
+        fwd=EdgeShard(**{
+            f.name: put(getattr(batch.fwd, f.name), getattr(shard_specs, f.name))
+            for f in dataclasses.fields(EdgeShard)
+        }),
+        bwd=EdgeShard(**{
+            f.name: put(getattr(batch.bwd, f.name), getattr(shard_specs, f.name))
+            for f in dataclasses.fields(EdgeShard)
+        }),
     )
 
 
@@ -158,135 +241,168 @@ def batch_pspecs() -> "ShardedBatch":
 
 
 def _gather_full(x_loc: jax.Array) -> jax.Array:
-    """[N/P, D] node-sharded → [N, D] replicated (ICI all-gather)."""
+    """[N/P, D] node-sharded → [N, D] replicated (ICI all-gather; autodiff
+    transpose is psum_scatter)."""
     return jax.lax.all_gather(x_loc, AXIS_GRAPH, axis=0, tiled=True)
 
 
-def _scatter_sum(partial_full: jax.Array) -> jax.Array:
-    """[N, D] per-device partial sums → [N/P, D] reduced node block."""
-    return jax.lax.psum_scatter(
-        partial_full, AXIS_GRAPH, scatter_dimension=0, tiled=True
-    )
+def _local_csr(key_local: jax.Array, offsets: jax.Array) -> CSR:
+    """Local identity-order CSR for a shard's (sorted) edge slice."""
+    e = key_local.shape[0]
+    iota = jnp.arange(e, dtype=jnp.int32)
+    return CSR(identity=True, order=iota, inv_order=iota, offsets=offsets,
+               segment_ids=key_local)
 
 
-def _masked_segment_sum(data, seg, mask, num_segments):
-    seg = jnp.where(mask, seg, num_segments)  # out-of-range ids are dropped
-    return jax.ops.segment_sum(data, seg, num_segments=num_segments)
+def _apply_bn(x, mean, var, scale, bias, eps=1e-5):
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def _sharded_gated_gcn_layer(
     lp: Dict,
     h_loc: jax.Array,  # [N/P, D]
-    e_loc: jax.Array,  # [E/P, D]
-    src_loc: jax.Array,  # [E/P] global node ids
-    dst_loc: jax.Array,
-    edge_mask_loc: jax.Array,
+    e_f: jax.Array,  # [E_b, D] fwd-shard edge state
+    e_b: jax.Array,  # [E_b, D] bwd-shard edge state
+    fwd: Dict[str, jax.Array],
+    bwd: Dict[str, jax.Array],
     node_mask_loc: jax.Array,
-    n_pad: int,
     batch_norm: bool,
+    backend: Optional[str],
     eps: float = 1e-6,
-) -> Tuple[jax.Array, jax.Array]:
-    h_in, e_in = h_loc, e_loc
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    h_in = h_loc
     a1 = linear(lp["A1"], h_loc)
     a2 = linear(lp["A2"], h_loc)
     a3 = linear(lp["A3"], h_loc)
     b1 = linear(lp["B1"], h_loc)
     b2 = linear(lp["B2"], h_loc)
-    b3e = linear(lp["B3"], e_loc)
 
     b1_full = _gather_full(b1)
     b2_full = _gather_full(b2)
-    gate = jnp.take(b1_full, src_loc, axis=0) + jnp.take(b2_full, dst_loc, axis=0) + b3e
-    if batch_norm:
-        gate = masked_batch_norm(
-            gate, edge_mask_loc, lp["norm_e"]["scale"], lp["norm_e"]["bias"],
-            axis_name=AXIS_GRAPH,
+    a2_full = _gather_full(a2)
+    a3_full = _gather_full(a3)
+
+    def gate_of(shard, e_state):
+        return (
+            jnp.take(b1_full, shard["src"], axis=0)
+            + jnp.take(b2_full, shard["dst"], axis=0)
+            + linear(lp["B3"], e_state)
         )
+
+    gate_f = gate_of(fwd, e_f)
+    gate_b = gate_of(bwd, e_b)
+
+    if batch_norm:
+        # stats over the fwd sharding only: each real edge exactly once
+        mean, var = masked_moments(gate_f, fwd["mask"], axis_name=AXIS_GRAPH)
+        gate_f = _apply_bn(gate_f, mean, var, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
+        gate_b = _apply_bn(gate_b, mean, var, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
     else:
-        gate = masked_layer_norm(gate, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
-    e_new = jax.nn.relu(gate) + e_in
-    sigma = jax.nn.sigmoid(e_new)
+        from gnnome_tpu.ops.norm import masked_layer_norm
+
+        gate_f = masked_layer_norm(gate_f, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
+        gate_b = masked_layer_norm(gate_b, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
+
+    e_f_new = jax.nn.relu(gate_f) + e_f
+    e_b_new = jax.nn.relu(gate_b) + e_b
+    sigma_f = jax.nn.sigmoid(e_f_new)
+    sigma_b = jax.nn.sigmoid(e_b_new)
 
     d = h_loc.shape[-1]
-    a2_full = _gather_full(a2)
+    n_local = h_loc.shape[0]
+
+    # fwd: local segment-sum into own node block (keyed by local dst)
+    csr_f = _local_csr(fwd["key_local"], fwd["offsets"])
     msg_f = jnp.concatenate(
-        [jnp.take(a2_full, src_loc, axis=0) * sigma, sigma], axis=-1
+        [jnp.take(a2_full, fwd["src"], axis=0) * sigma_f, sigma_f], axis=-1
     )
-    agg_f = _scatter_sum(_masked_segment_sum(msg_f, dst_loc, edge_mask_loc, n_pad))
+    agg_f = segment_sum_csr(msg_f, csr_f, n_local, backend=backend)
     h_fwd = agg_f[:, :d] / (agg_f[:, d:] + eps)
 
-    a3_full = _gather_full(a3)
+    # bwd: local segment-sum keyed by local src
+    csr_b = _local_csr(bwd["key_local"], bwd["offsets"])
     msg_b = jnp.concatenate(
-        [jnp.take(a3_full, dst_loc, axis=0) * sigma, sigma], axis=-1
+        [jnp.take(a3_full, bwd["dst"], axis=0) * sigma_b, sigma_b], axis=-1
     )
-    agg_b = _scatter_sum(_masked_segment_sum(msg_b, src_loc, edge_mask_loc, n_pad))
+    agg_b = segment_sum_csr(msg_b, csr_b, n_local, backend=backend)
     h_bwd = agg_b[:, :d] / (agg_b[:, d:] + eps)
 
     h = a1 + h_fwd + h_bwd
     if batch_norm:
-        h = masked_batch_norm(
-            h, node_mask_loc, lp["norm_h"]["scale"], lp["norm_h"]["bias"],
-            axis_name=AXIS_GRAPH,
-        )
+        mean, var = masked_moments(h, node_mask_loc, axis_name=AXIS_GRAPH)
+        h = _apply_bn(h, mean, var, lp["norm_h"]["scale"], lp["norm_h"]["bias"])
     else:
+        from gnnome_tpu.ops.norm import masked_layer_norm
+
         h = masked_layer_norm(h, lp["norm_h"]["scale"], lp["norm_h"]["bias"])
     h = jax.nn.relu(h) + h_in
-    return h, e_new
+    return h, e_f_new, e_b_new
 
 
 def sharded_forward(
     params: Dict,
-    src_loc, dst_loc, edge_mask_loc, node_mask_loc, e_feat_loc, pe_loc,
-    n_pad: int,
+    pe_loc: jax.Array,
+    node_mask_loc: jax.Array,
+    fwd: Dict[str, jax.Array],
+    bwd: Dict[str, jax.Array],
     batch_norm: bool = True,
+    backend: Optional[str] = None,
     remat: bool = True,
 ) -> jax.Array:
-    """Per-shard forward pass (runs inside shard_map). Returns local edge
-    logits [E/P]."""
+    """Per-shard forward; returns fwd-shard edge logits [E_b]."""
     h = linear(params["linear_pe"], pe_loc)
-    e = jax.nn.relu(linear(params["linear1_edge"], e_feat_loc))
-    e = linear(params["linear2_edge"], e)
+
+    def encode_e(e_feat):
+        e = jax.nn.relu(linear(params["linear1_edge"], e_feat))
+        return linear(params["linear2_edge"], e)
+
+    e_f = encode_e(fwd["e_feat"])
+    e_b = encode_e(bwd["e_feat"])
 
     layer = _sharded_gated_gcn_layer
     if remat:
-        layer = jax.checkpoint(
-            _sharded_gated_gcn_layer, static_argnums=(7, 8)
-        )
+        layer = jax.checkpoint(_sharded_gated_gcn_layer, static_argnums=(7, 8))
     for lp in params["layers"]:
-        h, e = layer(
-            lp, h, e, src_loc, dst_loc, edge_mask_loc, node_mask_loc,
-            n_pad, batch_norm,
+        h, e_f, e_b = layer(
+            lp, h, e_f, e_b, fwd, bwd, node_mask_loc, batch_norm, backend
         )
 
     h_full = _gather_full(h)
     feat = jnp.concatenate(
-        [jnp.take(h_full, src_loc, axis=0), jnp.take(h_full, dst_loc, axis=0), e],
+        [
+            jnp.take(h_full, fwd["src"], axis=0),
+            jnp.take(h_full, fwd["dst"], axis=0),
+            e_f,
+        ],
         axis=-1,
     )
     hidden = jax.nn.relu(linear(params["score1"], feat))
     return linear(params["score2"], hidden)[:, 0]
 
 
-def make_sharded_loss(mesh: Mesh, batch_norm: bool = True, remat: bool = True):
+def make_sharded_loss(
+    mesh: Mesh, batch_norm: bool = True, remat: bool = True,
+    backend: Optional[str] = None,
+):
     """Builds loss(params, batch, pos_weight) -> scalar, sharded over mesh."""
-    specs = batch_pspecs()
 
-    def shard_fn(params, src, dst, emask, nmask, e_feat, pe, y, pos_weight):
-        # leading data dim is 1 per shard group: squeeze it
-        src, dst = src[0], dst[0]
-        emask, nmask = emask[0], nmask[0]
-        e_feat, pe, y = e_feat[0], pe[0], y[0]
-        n_local = nmask.shape[0]
-        n_pad = n_local * jax.lax.axis_size(AXIS_GRAPH)
+    def shard_fn(params, node_mask, pe, fwd_t, bwd_t, pos_weight):
+        # squeeze the per-shard leading [1(data), 1(graph)] dims
+        node_mask = node_mask[0]
+        pe = pe[0]
+        fwd = {k: getattr(fwd_t, k)[0, 0] for k in
+               ("src", "dst", "mask", "key_local", "offsets", "e_feat", "y")}
+        bwd = {k: getattr(bwd_t, k)[0, 0] for k in
+               ("src", "dst", "mask", "key_local", "offsets", "e_feat", "y")}
 
         logits = sharded_forward(
-            params, src, dst, emask, nmask, e_feat, pe, n_pad,
-            batch_norm=batch_norm, remat=remat,
+            params, pe, node_mask, fwd, bwd,
+            batch_norm=batch_norm, backend=backend, remat=remat,
         )
-        # masked BCE: partial sums + psum over graph, mean over data
         from jax.nn import log_sigmoid
 
-        m = emask.astype(jnp.float32)
+        y = fwd["y"]
+        m = fwd["mask"].astype(jnp.float32)
         per_edge = -(
             pos_weight * y * log_sigmoid(logits)
             + (1.0 - y) * log_sigmoid(-logits)
@@ -297,29 +413,37 @@ def make_sharded_loss(mesh: Mesh, batch_norm: bool = True, remat: bool = True):
         loss = jax.lax.pmean(loss, AXIS_DATA)
         return loss[None]
 
+    edge_spec = EdgeShard(
+        src=P(AXIS_DATA, AXIS_GRAPH), dst=P(AXIS_DATA, AXIS_GRAPH),
+        mask=P(AXIS_DATA, AXIS_GRAPH), key_local=P(AXIS_DATA, AXIS_GRAPH),
+        offsets=P(AXIS_DATA, AXIS_GRAPH),
+        e_feat=P(AXIS_DATA, AXIS_GRAPH),
+        y=P(AXIS_DATA, AXIS_GRAPH),
+    )
+
     def loss_fn(params, batch: ShardedBatch, pos_weight):
         out = shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(
                 P(),  # params replicated
-                specs.src, specs.dst, specs.edge_mask, specs.node_mask,
-                specs.e_feat, specs.pe, specs.y,
+                P(AXIS_DATA, AXIS_GRAPH),  # node_mask
+                P(AXIS_DATA, AXIS_GRAPH, None),  # pe
+                edge_spec,
+                edge_spec,
                 P(),
             ),
             out_specs=P(AXIS_DATA),
             check_vma=False,
-        )(
-            params, batch.src, batch.dst, batch.edge_mask, batch.node_mask,
-            batch.e_feat, batch.pe, batch.y, pos_weight,
-        )
+        )(params, batch.node_mask, batch.pe, batch.fwd, batch.bwd, pos_weight)
         return out.mean()
 
     return loss_fn
 
 
 def make_sharded_train_step(
-    mesh: Mesh, batch_norm: bool = True, remat: bool = True
+    mesh: Mesh, batch_norm: bool = True, remat: bool = True,
+    backend: Optional[str] = None,
 ):
     """Full distributed training step: loss + grads (reduced over the mesh)
     + Adam update. Params live replicated; batch sharded data×graph."""
@@ -327,7 +451,8 @@ def make_sharded_train_step(
 
     from gnnome_tpu.train.loop import make_optimizer
 
-    loss_fn = make_sharded_loss(mesh, batch_norm=batch_norm, remat=remat)
+    loss_fn = make_sharded_loss(mesh, batch_norm=batch_norm, remat=remat,
+                                backend=backend)
     opt = make_optimizer()
 
     @functools.partial(jax.jit, donate_argnames=("params", "opt_state"))
