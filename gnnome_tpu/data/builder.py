@@ -36,6 +36,9 @@ def reverse_complement(seq: str) -> str:
 
 
 def parse_fasta(path: str) -> List[Tuple[str, str]]:
+    """Parse FASTA or FASTQ (by extension) into (header, seq) pairs."""
+    if path.endswith(("fastq", "fq")):
+        return parse_fastq(path)
     records: List[Tuple[str, str]] = []
     header = None
     chunks: List[str] = []
@@ -51,6 +54,20 @@ def parse_fasta(path: str) -> List[Tuple[str, str]]:
                 chunks.append(line)
     if header is not None:
         records.append((header, "".join(chunks).upper()))
+    return records
+
+
+def parse_fastq(path: str) -> List[Tuple[str, str]]:
+    records: List[Tuple[str, str]] = []
+    with open(path) as f:
+        while True:
+            header = f.readline()
+            if not header:
+                break
+            seq = f.readline().strip().upper()
+            f.readline()  # '+'
+            f.readline()  # quality
+            records.append((header[1:].strip(), seq))
     return records
 
 

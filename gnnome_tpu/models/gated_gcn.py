@@ -69,9 +69,11 @@ def gated_gcn_layer(
     b3e = linear(params["B3"], e)
 
     n_pad = graph.n_nodes_padded
-    # SDDMM: per-edge gate from endpoint features (shared by both directions).
-    # gather_by_endpoint's VJP is a Pallas segment-sum over the transpose
-    # CSR — no XLA scatter in the backward pass.
+    d = h.shape[-1]
+    # SDDMM: per-edge gate from endpoint features (shared by both
+    # directions). gather_by_endpoint's VJP is a Pallas segment-sum over
+    # the transpose CSR — no XLA scatter in the backward pass. (Measured:
+    # separate narrow gathers beat combined wide-row gathers single-chip.)
     gate = (
         gather_by_endpoint(b1h, graph.src, graph.by_src, n_pad, backend)
         + gather_by_endpoint(b2h, graph.dst, graph.by_dst, n_pad, backend)
@@ -88,22 +90,30 @@ def gated_gcn_layer(
     else:
         gate = masked_layer_norm(gate, params["norm_e"]["scale"], params["norm_e"]["bias"])
     e_new = jax.nn.relu(gate) + e_in
-    sigma = jax.nn.sigmoid(e_new)
+
+    # per-edge key arrays with padding marked (drops padded-edge cotangents
+    # in the fused op's backward)
+    from gnnome_tpu.core.graph import PAD_SEGMENT
+
+    dst_key = jnp.where(graph.edge_mask, graph.dst, PAD_SEGMENT)
+    src_key = jnp.where(graph.edge_mask, graph.src, PAD_SEGMENT)
 
     # Forward: node i sums σ·A2h over its in-edges (j → i), keyed by dst.
+    # σ is computed inside the fused kernel (never materialized in HBM).
     h_fwd = gated_aggregate(
-        a2h, sigma, graph.src, graph.by_src, graph.by_dst, n_pad,
-        backend=backend, eps=eps,
+        a2h, e_new, graph.src, graph.by_src, graph.by_dst, n_pad,
+        key=dst_key, backend=backend, eps=eps,
     )
     # Backward: node j sums σ·A3h over its out-edges (j → i), keyed by src —
     # the ``dgl.reverse`` pass of the reference without materializing a
     # transposed graph (the by_src CSR *is* the transpose).
     h_bwd = gated_aggregate(
-        a3h, sigma, graph.dst, graph.by_dst, graph.by_src, n_pad,
-        backend=backend, eps=eps,
+        a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
+        key=src_key, backend=backend, eps=eps,
     )
 
-    h = a1h + h_fwd + h_bwd
+    # aggregation sums accumulate in f32; return to the compute dtype
+    h = a1h + h_fwd.astype(h_in.dtype) + h_bwd.astype(h_in.dtype)
     if batch_norm:
         h = masked_batch_norm(
             h,

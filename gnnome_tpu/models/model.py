@@ -85,6 +85,7 @@ def model_forward(
     dropout_rng: Optional[jax.Array] = None,
     remat: str = "layer",  # 'none' | 'layer' | 'group'
     remat_group: int = 4,
+    compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
 ) -> jax.Array:
     """Returns per-edge logits, f32[E_pad] (padding rows are garbage; mask
     with ``graph.edge_mask`` before use).
@@ -98,6 +99,14 @@ def model_forward(
         stored, inner layers recomputed — O(L/G + G) activation memory,
         what lets a 16-layer chr19-scale full-graph backward fit one chip.
     """
+    if compute_dtype in ("bfloat16", "bf16"):
+        cdt = jnp.bfloat16
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, params
+        )
+        pe = pe.astype(cdt)
+        e_feat = e_feat.astype(cdt)
+
     h = linear(params["linear_pe"], pe)
     e = jax.nn.relu(linear(params["linear1_edge"], e_feat))
     e = linear(params["linear2_edge"], e)
@@ -141,7 +150,7 @@ def model_forward(
         else:
             (h, e), _ = jax.lax.scan(body, (h, e), stacked)
 
-    return score_predictor(params, graph, h, e, backend=backend)
+    return score_predictor(params, graph, h, e, backend=backend).astype(jnp.float32)
 
 
 def count_params(params) -> int:

@@ -24,7 +24,8 @@ def masked_moments(
     axis_name: Optional[str] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Mean/variance over rows where ``mask`` is True; per-feature."""
-    m = mask.astype(x.dtype)[:, None]
+    x = x.astype(jnp.float32)  # moments always in f32 (bf16-safe)
+    m = mask.astype(jnp.float32)[:, None]
     count = jnp.sum(m)
     if axis_name is not None:
         count = jax.lax.psum(count, axis_name)
@@ -50,7 +51,8 @@ def masked_batch_norm(
     """BatchNorm1d with per-batch statistics (track_running_stats=False)."""
     mean, var = masked_moments(x, mask, axis_name=axis_name)
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * scale + bias
+    out = (x.astype(jnp.float32) - mean) * inv * scale.astype(jnp.float32)
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def masked_layer_norm(

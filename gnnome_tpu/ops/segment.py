@@ -69,9 +69,11 @@ def _sorted_segment_sum_raw(
     data_sorted: jax.Array, csr: CSR, num_segments: int, backend: str
 ) -> jax.Array:
     if backend == "xla":
+        # accumulate in f32 even for bf16 inputs (the pallas path always
+        # accumulates f32)
         return jax.ops.segment_sum(
-            data_sorted, csr.segment_ids, num_segments=num_segments,
-            indices_are_sorted=True,
+            data_sorted.astype(jnp.float32), csr.segment_ids,
+            num_segments=num_segments, indices_are_sorted=True,
         )
     elif backend in ("pallas", "pallas_interpret"):
         from gnnome_tpu.ops.spmm_pallas import sorted_segment_sum_pallas
@@ -128,12 +130,14 @@ def gather_by_endpoint(
 
 
 def _gather_fwd(values, index, csr_t, num_rows, backend):
-    return jnp.take(values, index, axis=0), csr_t
+    proto = jnp.zeros((0,), values.dtype)
+    return jnp.take(values, index, axis=0), (csr_t, proto)
 
 
-def _gather_bwd(num_rows, backend, csr_t, g):
+def _gather_bwd(num_rows, backend, res, g):
+    csr_t, proto = res
     grad_values = segment_sum_csr(g, csr_t, num_rows, backend=backend)
-    return grad_values, None, None
+    return grad_values.astype(proto.dtype), None, None
 
 
 gather_by_endpoint.defvjp(_gather_fwd, _gather_bwd)
@@ -158,13 +162,72 @@ def sorted_segment_sum_xla(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_sigma_aggregate(
+    e_pre: jax.Array,  # [E, D] pre-σ edge state, original/canonical order
+    vals: jax.Array,  # [E, D] gathered neighbor values, same order
+    key: jax.Array,  # int32[E] key node per edge
+    csr: CSR,
+    num_segments: int,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """[Σ σ(e_pre)·vals ‖ Σ σ(e_pre)] per key node of ``csr`` — the fused
+    gate→scatter-sum pass. σ, σ·v, and the concat never touch HBM on the
+    pallas path."""
+    return _fused_forward(e_pre, vals, key, csr, num_segments, backend)
+
+
+def _fused_forward(e_pre, vals, key, csr, num_segments, backend):
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import fused_sigma_aggregate_pallas
+
+        if csr.identity:
+            e_s, v_s = e_pre, vals
+        else:
+            e_s = permute_rows(e_pre, csr.order, csr.inv_order)
+            v_s = permute_rows(vals, csr.order, csr.inv_order)
+        return fused_sigma_aggregate_pallas(
+            e_s, v_s, csr.segment_ids, csr.offsets, num_segments,
+            interpret=(backend == "pallas_interpret"),
+        )
+    sigma = jax.nn.sigmoid(e_pre.astype(jnp.float32))
+    stacked = jnp.concatenate([sigma * vals.astype(jnp.float32), sigma], axis=-1)
+    return segment_sum_csr(stacked, csr, num_segments, backend=backend)
+
+
+def _fused_fwd(e_pre, vals, key, csr, num_segments, backend):
+    out = _fused_forward(e_pre, vals, key, csr, num_segments, backend)
+    return out, (e_pre, vals, key)
+
+
+def _fused_bwd(num_segments, backend, res, g):
+    e_pre, vals, key = res
+    d = e_pre.shape[-1]
+    valid = key < num_segments
+    safe = jnp.where(valid, key, 0)
+    g1 = jnp.take(g[:, :d], safe, axis=0)
+    g2 = jnp.take(g[:, d:], safe, axis=0)
+    sig = jax.nn.sigmoid(e_pre.astype(jnp.float32))
+    dsig = sig * (1.0 - sig)
+    grad_e = (g1 * vals.astype(jnp.float32) + g2) * dsig
+    grad_v = g1 * sig
+    grad_e = jnp.where(valid[:, None], grad_e, 0.0).astype(e_pre.dtype)
+    grad_v = jnp.where(valid[:, None], grad_v, 0.0).astype(vals.dtype)
+    return grad_e, grad_v, None, None
+
+
+_fused_sigma_aggregate.defvjp(_fused_fwd, _fused_bwd)
+
+
 def gated_aggregate(
     values: jax.Array,
-    gate: jax.Array,
+    gate_pre: jax.Array,
     value_index: jax.Array,
     value_csr_t: CSR,
     csr: CSR,
     num_segments: int,
+    key: Optional[jax.Array] = None,
     backend: Optional[str] = None,
     eps: float = 1e-6,
 ) -> jax.Array:
@@ -172,18 +235,21 @@ def gated_aggregate(
 
     Computes, per key node ``v`` of ``csr``::
 
-        out[v] = Σ_e gate[e] * values[value_index[e]] / (Σ_e gate[e] + eps)
+        out[v] = Σ_e σ(gate_pre[e]) · values[value_index[e]]
+                 / (Σ_e σ(gate_pre[e]) + eps)
 
-    which is the pair of SpMMs + normalize at
-    ``layers/gated_gcn_full.py:128-130`` (and ``:141-143`` for the reverse
-    direction). The weighted sum and the normalizer share one segment-sum
-    by concatenating along the feature axis — one kernel pass instead of
-    two. ``value_csr_t`` is the CSR keyed by ``value_index`` (the
-    *opposite* direction of ``csr``), used for the gather's scatter-free
-    VJP.
+    which is the gate σ + pair of SpMMs + normalize at
+    ``layers/gated_gcn_full.py:127-130`` (and ``:140-143`` for the reverse
+    direction). σ, the gated messages, and the dual segment-sum run in one
+    fused Pallas pass (``_fused_sigma_aggregate``); the backward is
+    gather-only. ``value_csr_t`` is the CSR keyed by ``value_index`` (the
+    opposite direction of ``csr``) for the endpoint gather's scatter-free
+    VJP; ``key`` is the per-edge key-node array of ``csr`` (used by the
+    fused op's backward gather).
     """
+    if key is None:
+        raise ValueError("gated_aggregate requires the per-edge key array")
     vals = gather_by_endpoint(values, value_index, value_csr_t, values.shape[0], backend)
-    stacked = jnp.concatenate([vals * gate, gate], axis=-1)
-    summed = segment_sum_csr(stacked, csr, num_segments, backend=backend)
+    summed = _fused_sigma_aggregate(gate_pre, vals, key, csr, num_segments, backend)
     d = values.shape[-1]
     return summed[:, :d] / (summed[:, d:] + eps)

@@ -39,6 +39,21 @@ SUBCHUNKS = 8
 CHUNK_EDGES = SUBCHUNKS * LANE  # 1024 edges per DMA chunk
 
 
+
+def _acc_matmul(acc, onehot_bf16, tile):
+    """acc += onehot @ tile with dtype-appropriate exactness: single pass
+    for bf16 tiles; 3-term bf16 split (~f32 exact) for f32 tiles."""
+    if tile.dtype == jnp.bfloat16:
+        return acc + jnp.dot(onehot_bf16, tile, preferred_element_type=jnp.float32)
+    data_hi = tile.astype(jnp.bfloat16)
+    rem = tile - data_hi.astype(jnp.float32)
+    data_mid = rem.astype(jnp.bfloat16)
+    data_lo = (rem - data_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    for part in (data_hi, data_mid, data_lo):
+        acc = acc + jnp.dot(onehot_bf16, part, preferred_element_type=jnp.float32)
+    return acc
+
+
 def _segment_sum_kernel(
     chunk_lo_ref,  # SMEM int32[nblocks]  (scalar prefetch)
     chunk_hi_ref,  # SMEM int32[nblocks]  (scalar prefetch)
@@ -95,18 +110,7 @@ def _segment_sum_kernel(
             ids_row = ids_buf[slot, r : r + 1, :]  # [1, LANE]
             onehot = (ids_row == node_ids).astype(jnp.bfloat16)  # [BN, LANE]
             tile = data_buf[slot, r * LANE : (r + 1) * LANE, :]
-            # Three-term bf16 split (hi+mid+lo ≈ 24 mantissa bits): the
-            # one-hot is exact in bf16, so the segment sum matches an f32
-            # scatter-add to ~1e-7 rel — at half the MXU passes of an
-            # f32-HIGHEST matmul, which was the kernel's bottleneck.
-            data_hi = tile.astype(jnp.bfloat16)
-            rem = tile - data_hi.astype(jnp.float32)
-            data_mid = rem.astype(jnp.bfloat16)
-            data_lo = (rem - data_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            for part in (data_hi, data_mid, data_lo):
-                acc = acc + jnp.dot(
-                    onehot, part, preferred_element_type=jnp.float32
-                )
+            acc = _acc_matmul(acc, onehot, tile)
         return acc
 
     acc = jnp.zeros((block_nodes, out_dim), jnp.float32)
@@ -153,7 +157,7 @@ def _forward(
             (bn, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ch, d), jnp.float32),
+            pltpu.VMEM((2, ch, d), data_sorted.dtype),
             pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -165,10 +169,11 @@ def _forward(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * e_pad * bn * d,
-            bytes_accessed=e_pad * d * 4 + e_pad * 4 + num_segments * d * 4,
+            bytes_accessed=e_pad * d * data_sorted.dtype.itemsize
+            + e_pad * 4 + num_segments * d * 4,
             transcendentals=0,
         ),
-    )(chunk_lo, chunk_hi, data_sorted.astype(jnp.float32), ids_2d)
+    )(chunk_lo, chunk_hi, data_sorted, ids_2d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -191,17 +196,159 @@ def sorted_segment_sum_pallas(
 
 def _fwd(data_sorted, segment_ids_sorted, offsets, num_segments, interpret):
     out = _forward(data_sorted, segment_ids_sorted, offsets, num_segments, interpret)
-    return out, segment_ids_sorted
+    proto = jnp.zeros((0,), data_sorted.dtype)
+    return out, (segment_ids_sorted, proto)
 
 
-def _bwd(num_segments, interpret, segment_ids_sorted, g):
+def _bwd(num_segments, interpret, res, g):
     # d(segment_sum)/d(data) is a row gather of the cotangent; padded edges
     # (id == 2^30) receive zero.
+    segment_ids_sorted, proto = res
     valid = segment_ids_sorted < num_segments
     safe_ids = jnp.where(valid, segment_ids_sorted, 0)
     grad = jnp.take(g, safe_ids, axis=0)
-    grad = jnp.where(valid[:, None], grad, 0.0)
+    grad = jnp.where(valid[:, None], grad, 0.0).astype(proto.dtype)
     return grad, None, None
 
 
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused σ-aggregate kernel: sigmoid + gate-multiply + dual segment-sum
+# ---------------------------------------------------------------------------
+
+
+def _fused_sigma_kernel(
+    chunk_lo_ref,  # SMEM int32[nblocks]
+    chunk_hi_ref,  # SMEM int32[nblocks]
+    e_hbm,  # ANY [E, D] pre-σ edge state (e_new), CSR-sorted
+    v_hbm,  # ANY [E, D] gathered neighbor values, CSR-sorted
+    ids_hbm,  # ANY int32[E // LANE, LANE]
+    out_ref,  # VMEM [BN, 2D] block: [Σ σ·v | Σ σ]
+    e_buf,  # VMEM [2, CHUNK, D]
+    v_buf,  # VMEM [2, CHUNK, D]
+    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    sems,  # DMA sems [2, 3]
+    *,
+    block_nodes: int,
+    feat_dim: int,
+):
+    i = pl.program_id(0)
+    lo = chunk_lo_ref[i]
+    hi = chunk_hi_ref[i]
+    node_ids = i * block_nodes + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, 1), 0
+    )
+
+    def dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                e_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                e_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                v_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                ids_buf.at[slot], sems.at[slot, 2]),
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        for d in dmas(0, lo):
+            d.start()
+
+    def body(c_rel, acc):
+        acc1, acc2 = acc
+        c = lo + c_rel
+        slot = jax.lax.rem(c_rel, 2)
+        nxt = jax.lax.rem(c_rel + 1, 2)
+
+        @pl.when(c + 1 < hi)
+        def _():
+            for d in dmas(nxt, c + 1):
+                d.start()
+
+        for d in dmas(slot, c):
+            d.wait()
+
+        for r in range(SUBCHUNKS):
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
+            e_tile = e_buf[slot, r * LANE : (r + 1) * LANE, :]
+            v_tile = v_buf[slot, r * LANE : (r + 1) * LANE, :]
+            # σ in f32 for accuracy; products in the input dtype so
+            # f32 inputs keep ~f32 exactness via the 3-term split
+            sig = jax.nn.sigmoid(e_tile.astype(jnp.float32))
+            sv = (sig * v_tile.astype(jnp.float32)).astype(v_tile.dtype)
+            sb = sig.astype(e_tile.dtype)
+            acc1 = _acc_matmul(acc1, onehot, sv)
+            acc2 = _acc_matmul(acc2, onehot, sb)
+        return acc1, acc2
+
+    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+    out_ref[:, :feat_dim] = acc1
+    out_ref[:, feat_dim:] = acc2
+
+
+def fused_sigma_aggregate_pallas(
+    e_sorted: jax.Array,
+    vals_sorted: jax.Array,
+    segment_ids_sorted: jax.Array,
+    offsets: jax.Array,
+    num_segments: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """[Σ_e σ(e)·v | Σ_e σ(e)] per key node — the fused gather→gate→
+    scatter-sum pass of BASELINE.json, minus the (XLA) gather.
+
+    Skips materializing σ, σ·v, and their concat in HBM (≈5 full edge-wide
+    memory passes per direction per layer). No custom VJP here — callers
+    wrap it (see ops.segment.fused_sigma_aggregate).
+    """
+    e_pad, d = e_sorted.shape
+    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    assert e_pad % ch == 0 and num_segments % bn == 0
+    nblocks = num_segments // bn
+    block_edge_lo = offsets[0:num_segments:bn]
+    block_edge_hi = offsets[bn : num_segments + 1 : bn]
+    chunk_lo = (block_edge_lo // ch).astype(jnp.int32)
+    chunk_hi = ((block_edge_hi + ch - 1) // ch).astype(jnp.int32)
+    ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
+
+    kernel = functools.partial(
+        _fused_sigma_kernel, block_nodes=bn, feat_dim=d
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, 2 * d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ch, d), e_sorted.dtype),
+            pltpu.VMEM((2, ch, d), vals_sorted.dtype),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_segments, 2 * d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_pad * bn * d,
+            bytes_accessed=2 * e_pad * d * e_sorted.dtype.itemsize
+            + e_pad * 4 + num_segments * 2 * d * 4,
+            transcendentals=e_pad * d,
+        ),
+    )(chunk_lo, chunk_hi, e_sorted, vals_sorted, ids_2d)

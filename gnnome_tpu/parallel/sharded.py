@@ -271,26 +271,26 @@ def _sharded_gated_gcn_layer(
     eps: float = 1e-6,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     h_in = h_loc
+    d = h_loc.shape[-1]
     a1 = linear(lp["A1"], h_loc)
     a2 = linear(lp["A2"], h_loc)
     a3 = linear(lp["A3"], h_loc)
     b1 = linear(lp["B1"], h_loc)
     b2 = linear(lp["B2"], h_loc)
 
-    b1_full = _gather_full(b1)
-    b2_full = _gather_full(b2)
-    a2_full = _gather_full(a2)
-    a3_full = _gather_full(a3)
+    # pair the tables needed per endpoint: 2 wide all_gathers + wide-row
+    # gathers instead of 4 + narrow (gathers dominate the profile)
+    src_tab = _gather_full(jnp.concatenate([b1, a2], axis=-1))  # [N, 2D]
+    dst_tab = _gather_full(jnp.concatenate([b2, a3], axis=-1))
 
-    def gate_of(shard, e_state):
-        return (
-            jnp.take(b1_full, shard["src"], axis=0)
-            + jnp.take(b2_full, shard["dst"], axis=0)
-            + linear(lp["B3"], e_state)
-        )
+    def gate_and_vals(shard, e_state):
+        sg = jnp.take(src_tab, shard["src"], axis=0)
+        dg = jnp.take(dst_tab, shard["dst"], axis=0)
+        gate = sg[:, :d] + dg[:, :d] + linear(lp["B3"], e_state)
+        return gate, sg[:, d:], dg[:, d:]
 
-    gate_f = gate_of(fwd, e_f)
-    gate_b = gate_of(bwd, e_b)
+    gate_f, a2_src_f, a3_dst_f = gate_and_vals(fwd, e_f)
+    gate_b, a2_src_b, a3_dst_b = gate_and_vals(bwd, e_b)
 
     if batch_norm:
         # stats over the fwd sharding only: each real edge exactly once
@@ -305,26 +305,22 @@ def _sharded_gated_gcn_layer(
 
     e_f_new = jax.nn.relu(gate_f) + e_f
     e_b_new = jax.nn.relu(gate_b) + e_b
-    sigma_f = jax.nn.sigmoid(e_f_new)
-    sigma_b = jax.nn.sigmoid(e_b_new)
 
-    d = h_loc.shape[-1]
     n_local = h_loc.shape[0]
+    from gnnome_tpu.ops.segment import _fused_sigma_aggregate
 
-    # fwd: local segment-sum into own node block (keyed by local dst)
+    # fwd: fused σ + local segment-sum into own node block (local dst key)
     csr_f = _local_csr(fwd["key_local"], fwd["offsets"])
-    msg_f = jnp.concatenate(
-        [jnp.take(a2_full, fwd["src"], axis=0) * sigma_f, sigma_f], axis=-1
+    agg_f = _fused_sigma_aggregate(
+        e_f_new, a2_src_f, fwd["key_local"], csr_f, n_local, backend
     )
-    agg_f = segment_sum_csr(msg_f, csr_f, n_local, backend=backend)
     h_fwd = agg_f[:, :d] / (agg_f[:, d:] + eps)
 
-    # bwd: local segment-sum keyed by local src
+    # bwd: fused σ + local segment-sum keyed by local src
     csr_b = _local_csr(bwd["key_local"], bwd["offsets"])
-    msg_b = jnp.concatenate(
-        [jnp.take(a3_full, bwd["dst"], axis=0) * sigma_b, sigma_b], axis=-1
+    agg_b = _fused_sigma_aggregate(
+        e_b_new, a3_dst_b, bwd["key_local"], csr_b, n_local, backend
     )
-    agg_b = segment_sum_csr(msg_b, csr_b, n_local, backend=backend)
     h_bwd = agg_b[:, :d] / (agg_b[:, d:] + eps)
 
     h = a1 + h_fwd + h_bwd

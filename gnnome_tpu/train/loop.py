@@ -84,7 +84,7 @@ def set_lr(opt_state, lr: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("batch_norm", "backend"),
+    static_argnames=("batch_norm", "backend", "compute_dtype", "remat"),
     donate_argnames=("params", "opt_state"),
 )
 def train_step(
@@ -97,12 +97,15 @@ def train_step(
     pos_weight,
     batch_norm: bool = True,
     backend: Optional[str] = None,
+    compute_dtype: str = "float32",
+    remat: str = "layer",
 ):
     """One full-graph optimization step. Returns new state + metrics."""
 
     def loss_fn(p):
         logits = model_forward(
-            p, graph, e_feat, pe, batch_norm=batch_norm, backend=backend
+            p, graph, e_feat, pe, batch_norm=batch_norm, backend=backend,
+            compute_dtype=compute_dtype, remat=remat,
         )
         loss = bce_with_logits(logits, y, graph.edge_mask, pos_weight)
         return loss, logits
@@ -115,13 +118,15 @@ def train_step(
     return params, opt_state, loss, counts
 
 
-@functools.partial(jax.jit, static_argnames=("batch_norm", "backend"))
+@functools.partial(jax.jit, static_argnames=("batch_norm", "backend", "compute_dtype"))
 def eval_step(
     params, graph: AssemblyGraph, e_feat, pe, y, pos_weight,
     batch_norm: bool = True, backend: Optional[str] = None,
+    compute_dtype: str = "float32",
 ):
     logits = model_forward(
-        params, graph, e_feat, pe, batch_norm=batch_norm, backend=backend
+        params, graph, e_feat, pe, batch_norm=batch_norm, backend=backend,
+        compute_dtype=compute_dtype,
     )
     loss = bce_with_logits(logits, y, graph.edge_mask, pos_weight)
     counts = confusion_counts(logits, y, graph.edge_mask)
@@ -162,6 +167,7 @@ def _epoch_pass(
                     piece.y, pos_weight,
                     batch_norm=cfg.model.batch_norm,
                     backend=cfg.train.backend,
+                    compute_dtype=cfg.train.compute_dtype,
                 )
             else:
                 loss, counts, _ = eval_step(
@@ -169,6 +175,7 @@ def _epoch_pass(
                     pos_weight,
                     batch_norm=cfg.model.batch_norm,
                     backend=cfg.train.backend,
+                    compute_dtype=cfg.train.compute_dtype,
                 )
             g_losses.append(float(loss))
             g_counts.append(counts)

@@ -105,3 +105,23 @@ def test_padding_invariance(rng):
         )
         outs.append(extract_edge_values(g, s))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_bfloat16_mode_close(rng):
+    """bf16 compute mode tracks f32 scores closely (training-accuracy fidelity)."""
+    cfg = ModelConfig(num_gnn_layers=2, hidden_features=32, hidden_edge_features=8,
+                      hidden_edge_scores=16, nb_pos_enc=8)
+    n = 40
+    src, dst = random_dag(rng, n=n, e=200)
+    g = build_graph(src, dst, n)
+    params = init_model_params(jax.random.PRNGKey(3), cfg)
+    e_feat = rng.standard_normal((len(src), 2)).astype(np.float32)
+    pe = rng.standard_normal((n, cfg.nb_pos_enc + 2)).astype(np.float32)
+    args = (prepare_edge_features(g, e_feat),
+            jnp.asarray(pad_features(pe, g.n_nodes_padded)))
+    s32 = extract_edge_values(g, model_forward(params, g, *args, backend="xla"))
+    s16 = extract_edge_values(
+        g, model_forward(params, g, *args, backend="xla", compute_dtype="bfloat16"))
+    assert s16.dtype == np.float32
+    # bf16 carries ~3 decimal digits; scores must agree to ~1e-1 abs
+    np.testing.assert_allclose(s16, s32, atol=0.15, rtol=0.15)

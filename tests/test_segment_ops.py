@@ -64,15 +64,18 @@ def test_gated_aggregate_matches_manual(rng):
     src, dst, g = make_graph(rng, n=40, e=200)
     d = 8
     vals = rng.standard_normal((g.n_nodes_padded, d)).astype(np.float32)
-    gate = rng.uniform(0.1, 1.0, (len(src), d)).astype(np.float32)
-    gate_pad = prepare_edge_features(g, gate)
+    gate_pre = rng.standard_normal((len(src), d)).astype(np.float32)
+    gate_pad = prepare_edge_features(g, gate_pre)
+    from gnnome_tpu.core.graph import PAD_SEGMENT
+    dst_key = jnp.where(g.edge_mask, g.dst, PAD_SEGMENT)
 
     out = gated_aggregate(
         jnp.asarray(vals), gate_pad, g.src, g.by_src, g.by_dst,
-        g.n_nodes_padded, backend="xla",
+        g.n_nodes_padded, key=dst_key, backend="xla",
     )
-    num = dense_segment_sum(gate * vals[src], dst, g.n_nodes)
-    den = dense_segment_sum(gate, dst, g.n_nodes)
+    sigma = 1.0 / (1.0 + np.exp(-gate_pre))
+    num = dense_segment_sum(sigma * vals[src], dst, g.n_nodes)
+    den = dense_segment_sum(sigma, dst, g.n_nodes)
     ref = num / (den + 1e-6)
     np.testing.assert_allclose(np.asarray(out)[: g.n_nodes], ref, rtol=1e-5, atol=1e-5)
 
@@ -92,3 +95,31 @@ def test_empty_and_high_degree_segments(rng):
     for backend in ("xla", "pallas_interpret"):
         out = segment_sum_csr(data_pad, g.by_dst, g.n_nodes_padded, backend=backend)
         np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=5e-5, atol=5e-5)
+
+
+def test_fused_sigma_aggregate_pallas_and_grads(rng):
+    """Fused σ-aggregate: pallas-interpret == xla compose, grads too."""
+    import jax
+    from gnnome_tpu.core.graph import PAD_SEGMENT
+    from gnnome_tpu.ops.segment import _fused_sigma_aggregate
+
+    src, dst, g = make_graph(rng, n=60, e=400)
+    d = 128
+    e_pre = prepare_edge_features(g, rng.standard_normal((len(src), d)).astype(np.float32))
+    vals = prepare_edge_features(g, rng.standard_normal((len(src), d)).astype(np.float32))
+    dst_key = jnp.where(g.edge_mask, g.dst, PAD_SEGMENT)
+
+    outs, grads = {}, {}
+    for backend in ("xla", "pallas_interpret"):
+        def f(e, v):
+            o = _fused_sigma_aggregate(e, v, dst_key, g.by_dst,
+                                       g.n_nodes_padded, backend)
+            return jnp.sum(o ** 2), o
+
+        (loss, o), gr = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(e_pre, vals)
+        outs[backend] = np.asarray(o)
+        grads[backend] = [np.asarray(x) for x in gr]
+    np.testing.assert_allclose(outs["pallas_interpret"], outs["xla"],
+                               rtol=5e-5, atol=5e-5)
+    for a, b in zip(grads["pallas_interpret"], grads["xla"]):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
