@@ -130,6 +130,36 @@ def main() -> None:
         return eps
 
     primary = "pallas" if on_tpu else "xla"
+    if os.environ.get("BENCH_SHARDED", "0") == "1":
+        # dual-order owner-computes step on a 1-device mesh (no permutes)
+        import jax.numpy as jnp2
+        from gnnome_tpu.data.dataset import GraphSample
+        from gnnome_tpu.parallel.mesh import make_mesh
+        from gnnome_tpu.parallel.sharded import make_sharded_train_step, prepare_batch
+
+        sample = GraphSample(
+            idx=0, graph=graph, e_feat=e_feat, pe=pe, y=y,
+            prefix_length=np.zeros(e_real, np.int64),
+            read_length=np.zeros(graph.n_nodes, np.int64),
+            overlap_length=np.zeros(e_real, np.int64),
+            overlap_similarity=np.zeros(e_real, np.float32),
+            src=np.asarray(graph.src)[:e_real], dst=np.asarray(graph.dst)[:e_real],
+        )
+        mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
+        batch = prepare_batch([sample], mesh)
+        sstep = make_sharded_train_step(mesh, backend=primary, compute_dtype=dtype)
+        opt2 = make_optimizer()
+        s2 = set_lr(opt2.init(params), 1e-3)
+        p2 = params
+        t0 = time.time()
+        p2, s2, loss = sstep(p2, s2, batch, jnp.float32(0.5))
+        log(f"sharded@1: compile+first {time.time()-t0:.1f}s loss={float(loss):.4f}")
+        t0 = time.time()
+        for _ in range(iters):
+            p2, s2, loss = sstep(p2, s2, batch, jnp.float32(0.5))
+        _ = float(loss)
+        dt = (time.time() - t0) / iters
+        log(f"sharded@1: {dt*1e3:.1f} ms/step, {e_real/dt/1e6:.2f} M edges/s")
     eps_primary = bench(primary, graph, e_feat, pe, y, e_real)
     vs = 1.0
     if on_tpu and os.environ.get("BENCH_COMPARE", "1") != "0":

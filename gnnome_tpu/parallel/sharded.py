@@ -255,7 +255,8 @@ def _local_csr(key_local: jax.Array, offsets: jax.Array) -> CSR:
 
 
 def _apply_bn(x, mean, var, scale, bias, eps=1e-5):
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    out = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _sharded_gated_gcn_layer(
@@ -303,8 +304,8 @@ def _sharded_gated_gcn_layer(
         gate_f = masked_layer_norm(gate_f, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
         gate_b = masked_layer_norm(gate_b, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
 
-    e_f_new = jax.nn.relu(gate_f) + e_f
-    e_b_new = jax.nn.relu(gate_b) + e_b
+    e_f_new = (jax.nn.relu(gate_f) + e_f).astype(e_f.dtype)
+    e_b_new = (jax.nn.relu(gate_b) + e_b).astype(e_b.dtype)
 
     n_local = h_loc.shape[0]
     from gnnome_tpu.ops.segment import _fused_sigma_aggregate
@@ -323,7 +324,8 @@ def _sharded_gated_gcn_layer(
     )
     h_bwd = agg_b[:, :d] / (agg_b[:, d:] + eps)
 
-    h = a1 + h_fwd + h_bwd
+    # aggregations accumulate f32; return to the compute dtype
+    h = a1 + h_fwd.astype(h_in.dtype) + h_bwd.astype(h_in.dtype)
     if batch_norm:
         mean, var = masked_moments(h, node_mask_loc, axis_name=AXIS_GRAPH)
         h = _apply_bn(h, mean, var, lp["norm_h"]["scale"], lp["norm_h"]["bias"])
@@ -331,7 +333,7 @@ def _sharded_gated_gcn_layer(
         from gnnome_tpu.ops.norm import masked_layer_norm
 
         h = masked_layer_norm(h, lp["norm_h"]["scale"], lp["norm_h"]["bias"])
-    h = jax.nn.relu(h) + h_in
+    h = (jax.nn.relu(h) + h_in).astype(h_in.dtype)
     return h, e_f_new, e_b_new
 
 
@@ -344,8 +346,19 @@ def sharded_forward(
     batch_norm: bool = True,
     backend: Optional[str] = None,
     remat: bool = True,
+    compute_dtype: str = "float32",
+    remat_group: int = 4,
 ) -> jax.Array:
     """Per-shard forward; returns fwd-shard edge logits [E_b]."""
+    if compute_dtype in ("bfloat16", "bf16"):
+        cdt = jnp.bfloat16
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, params
+        )
+        pe_loc = pe_loc.astype(cdt)
+        fwd = dict(fwd, e_feat=fwd["e_feat"].astype(cdt))
+        bwd = dict(bwd, e_feat=bwd["e_feat"].astype(cdt))
+
     h = linear(params["linear_pe"], pe_loc)
 
     def encode_e(e_feat):
@@ -355,13 +368,35 @@ def sharded_forward(
     e_f = encode_e(fwd["e_feat"])
     e_b = encode_e(bwd["e_feat"])
 
-    layer = _sharded_gated_gcn_layer
-    if remat:
-        layer = jax.checkpoint(_sharded_gated_gcn_layer, static_argnums=(7, 8))
-    for lp in params["layers"]:
-        h, e_f, e_b = layer(
+    # scan over stacked layer params (one compiled body) with hierarchical
+    # remat, exactly like the single-device model (models/model.py)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layers"])
+    n_layers = len(params["layers"])
+
+    def body(carry, lp):
+        h, e_f, e_b = carry
+        h, e_f, e_b = _sharded_gated_gcn_layer(
             lp, h, e_f, e_b, fwd, bwd, node_mask_loc, batch_norm, backend
         )
+        return (h, e_f, e_b), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    if remat and n_layers % remat_group == 0 and n_layers > remat_group:
+        groups = n_layers // remat_group
+        grouped = jax.tree_util.tree_map(
+            lambda x: x.reshape(groups, remat_group, *x.shape[1:]), stacked
+        )
+
+        def group_body(carry, glp):
+            out, _ = jax.lax.scan(body, carry, glp)
+            return out, None
+
+        (h, e_f, e_b), _ = jax.lax.scan(
+            jax.checkpoint(group_body), (h, e_f, e_b), grouped
+        )
+    else:
+        (h, e_f, e_b), _ = jax.lax.scan(body, (h, e_f, e_b), stacked)
 
     h_full = _gather_full(h)
     feat = jnp.concatenate(
@@ -373,12 +408,12 @@ def sharded_forward(
         axis=-1,
     )
     hidden = jax.nn.relu(linear(params["score1"], feat))
-    return linear(params["score2"], hidden)[:, 0]
+    return linear(params["score2"], hidden)[:, 0].astype(jnp.float32)
 
 
 def make_sharded_loss(
     mesh: Mesh, batch_norm: bool = True, remat: bool = True,
-    backend: Optional[str] = None,
+    backend: Optional[str] = None, compute_dtype: str = "float32",
 ):
     """Builds loss(params, batch, pos_weight) -> scalar, sharded over mesh."""
 
@@ -394,6 +429,7 @@ def make_sharded_loss(
         logits = sharded_forward(
             params, pe, node_mask, fwd, bwd,
             batch_norm=batch_norm, backend=backend, remat=remat,
+            compute_dtype=compute_dtype,
         )
         from jax.nn import log_sigmoid
 
@@ -439,7 +475,7 @@ def make_sharded_loss(
 
 def make_sharded_train_step(
     mesh: Mesh, batch_norm: bool = True, remat: bool = True,
-    backend: Optional[str] = None,
+    backend: Optional[str] = None, compute_dtype: str = "float32",
 ):
     """Full distributed training step: loss + grads (reduced over the mesh)
     + Adam update. Params live replicated; batch sharded data×graph."""
@@ -448,7 +484,7 @@ def make_sharded_train_step(
     from gnnome_tpu.train.loop import make_optimizer
 
     loss_fn = make_sharded_loss(mesh, batch_norm=batch_norm, remat=remat,
-                                backend=backend)
+                                backend=backend, compute_dtype=compute_dtype)
     opt = make_optimizer()
 
     @functools.partial(jax.jit, donate_argnames=("params", "opt_state"))
