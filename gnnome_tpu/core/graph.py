@@ -96,12 +96,17 @@ class AssemblyGraph:
 
 def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
                      order: np.ndarray, identity: bool) -> CSR:
-    inv_order = np.empty_like(order)
-    inv_order[order] = np.arange(len(order), dtype=np.int32)
     n_real = int((key_sorted < PAD_SEGMENT).sum())
     offsets = np.searchsorted(
         key_sorted[:n_real], np.arange(n_pad + 1)
     ).astype(np.int32)
+    if identity:
+        # order arrays are never read on the identity fast path; keep them
+        # empty so they cost nothing to transfer/store
+        order = inv_order = np.zeros(0, dtype=np.int32)
+    else:
+        inv_order = np.empty_like(order)
+        inv_order[order] = np.arange(len(order), dtype=np.int32)
     return CSR(
         identity=identity,
         order=jnp.asarray(order),

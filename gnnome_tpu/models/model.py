@@ -57,15 +57,20 @@ def score_predictor(
     from gnnome_tpu.ops.segment import gather_by_endpoint
 
     n_pad = graph.n_nodes_padded
-    feat = jnp.concatenate(
-        [
-            gather_by_endpoint(h, graph.src, graph.by_src, n_pad, backend),
-            gather_by_endpoint(h, graph.dst, graph.by_dst, n_pad, backend),
-            e,
-        ],
-        axis=-1,
+    d = h.shape[-1]
+    # Split-matmul form of W1·[h_src ‖ h_dst ‖ e]: pre-multiply h by the
+    # src/dst row-blocks of W1 (small [N, ·] matmuls), gather the results,
+    # and never materialize the [E, 3D] concat.
+    w1, b1 = params["score1"]["w"], params["score1"]["b"]
+    h_src_proj = jnp.dot(h, w1[:d], preferred_element_type=h.dtype)
+    h_dst_proj = jnp.dot(h, w1[d : 2 * d], preferred_element_type=h.dtype)
+    pre = (
+        gather_by_endpoint(h_src_proj, graph.src, graph.by_src, n_pad, backend)
+        + gather_by_endpoint(h_dst_proj, graph.dst, graph.by_dst, n_pad, backend)
+        + jnp.dot(e, w1[2 * d :], preferred_element_type=e.dtype)
+        + b1
     )
-    hidden = jax.nn.relu(linear(params["score1"], feat))
+    hidden = jax.nn.relu(pre)
     return linear(params["score2"], hidden)[:, 0]
 
 
@@ -123,6 +128,19 @@ def model_forward(
         # dropout path: unrolled loop with per-layer rng folds
         for i, lp in enumerate(params["layers"]):
             h, e = layer_fn(lp, h, e, jax.random.fold_in(dropout_rng, i))
+    elif remat == "unroll_group":
+        # Python-unrolled groups with checkpoint boundaries: same O(L/G+G)
+        # activation memory as 'group' but no while loops — XLA avoids
+        # scan-carry copies and dynamic-update-slice remat stashes.
+        def group_fn(group_params, h, e):
+            for lp in group_params:
+                h, e = layer_fn(lp, h, e, None)
+            return h, e
+
+        g = remat_group if n_layers % remat_group == 0 else 1
+        ckpt_group = jax.checkpoint(group_fn)
+        for i in range(0, n_layers, g):
+            h, e = ckpt_group(params["layers"][i : i + g], h, e)
     else:
         stacked = _stack_layers(params["layers"])
 

@@ -23,11 +23,12 @@ def test_permute_rows_grad(rng):
     g = build_graph(src, dst, 50)
     x = jnp.asarray(rng.standard_normal((g.n_edges_padded, 8)).astype(np.float32))
 
+    # by_src carries a real permutation (by_dst is the identity fast path)
     def f_custom(x):
-        return jnp.sum(permute_rows(x, g.by_dst.order, g.by_dst.inv_order) ** 2)
+        return jnp.sum(permute_rows(x, g.by_src.order, g.by_src.inv_order) ** 2)
 
     def f_ref(x):
-        return jnp.sum(jnp.take(x, g.by_dst.order, axis=0) ** 2)
+        return jnp.sum(jnp.take(x, g.by_src.order, axis=0) ** 2)
 
     np.testing.assert_allclose(
         np.asarray(jax.grad(f_custom)(x)), np.asarray(jax.grad(f_ref)(x)),
