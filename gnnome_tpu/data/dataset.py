@@ -220,3 +220,30 @@ class AssemblyGraphDataset:
                 identity=self.specs.get("filter", 0.99),
             )
             process_raw_graph(csv_path, reads_path, self.root, idx)
+
+
+def get_info(idx: int, data_path: str, kind: str):
+    """Load one info pickle (``utils.get_info``, ``utils.py:163-166``)."""
+    with open(os.path.join(data_path, "info", f"{idx}_{kind}.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def load_graph_data(num_graphs: int, data_path: str, use_reads: bool = False):
+    """Batch-load decode-time info dicts (``utils.load_graph_data``,
+    ``utils.py:182-195``)."""
+    info_all = {"preds": [], "succs": [], "reads": [], "edges": []}
+    for idx in range(num_graphs):
+        info_all["preds"].append(get_info(idx, data_path, "pred"))
+        info_all["succs"].append(get_info(idx, data_path, "succ"))
+        if use_reads:
+            info_all["reads"].append(get_info(idx, data_path, "reads"))
+        info_all["edges"].append(get_info(idx, data_path, "edges"))
+    return info_all
+
+
+def print_graph_info(idx: int, sample: "GraphSample", log_fn=print) -> None:
+    """Basic graph info (``utils.print_graph_info``, ``utils.py:198-204``)."""
+    log_fn("\n---- GRAPH INFO ----")
+    log_fn(f"Graph index: {idx}")
+    log_fn(f"Number of nodes: {sample.graph.n_nodes}")
+    log_fn(f"Number of edges: {sample.graph.n_edges}")

@@ -126,6 +126,13 @@ def _forward(
     interpret: bool,
 ) -> jax.Array:
     e_pad, d = data_sorted.shape
+    # HBM slices must be lane-aligned (128); pad narrow feature dims
+    if d % LANE != 0:
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        data_sorted = jnp.pad(data_sorted, ((0, 0), (0, d_pad - d)))
+        out = _forward(data_sorted, segment_ids_sorted, offsets,
+                       num_segments, interpret)
+        return out[:, :d]
     bn, ch = BLOCK_NODES, CHUNK_EDGES
     assert e_pad % ch == 0, f"edge count {e_pad} not a multiple of {ch}"
     assert num_segments % bn == 0, (

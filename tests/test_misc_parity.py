@@ -1,0 +1,85 @@
+"""Small parity surfaces: config JSON roundtrip, reference-compat metrics,
+native-vs-python builder equivalence, info loaders."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gnnome_tpu.config import Config, ModelConfig
+from gnnome_tpu.evaluation.metrics import classification_metrics
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = Config(model=ModelConfig(num_gnn_layers=4))
+    cfg.split.train = {"chr19": 7}
+    path = str(tmp_path / "cfg.json")
+    cfg.to_json(path)
+    cfg2 = Config.from_json(path)
+    assert cfg2.model.num_gnn_layers == 4
+    assert cfg2.split.train == {"chr19": 7}
+    assert cfg2.train.lr == cfg.train.lr
+
+
+def test_reference_compat_swaps_precision_recall():
+    counts = {"tp": jnp.float32(10), "tn": jnp.float32(70),
+              "fp": jnp.float32(5), "fn": jnp.float32(15)}
+    std = classification_metrics(counts)
+    ref = classification_metrics(counts, reference_compat=True)
+    # standard: precision = 10/15, recall = 10/25
+    assert float(std["precision"]) == pytest.approx(10 / 15)
+    assert float(std["recall"]) == pytest.approx(10 / 25)
+    # reference (utils.py:228,232) swaps them
+    assert float(ref["precision"]) == pytest.approx(10 / 25)
+    assert float(ref["recall"]) == pytest.approx(10 / 15)
+
+
+def test_native_builder_matches_python(tmp_path):
+    from gnnome_tpu.data import native_bridge
+
+    if not native_bridge.available():
+        pytest.skip("native library not built")
+    from gnnome_tpu.data.builder import build_overlap_graph
+    from gnnome_tpu.data.parser import parse_csv
+    from gnnome_tpu.data.simulate import simulate_reads, write_fasta
+
+    rng = np.random.default_rng(13)
+    genome = "".join(rng.choice(list("ACGT"), size=20_000))
+    records = simulate_reads(genome, coverage=10.0,
+                             lengths=np.full(100, 1_500, dtype=np.int64), seed=2)
+    reads = str(tmp_path / "r.fasta")
+    write_fasta(reads, records)
+
+    csv_nat = str(tmp_path / "nat_graph_1.csv")
+    build_overlap_graph(reads, csv_nat, k=15, w=5, min_overlap=300)
+    os.environ["GNNOME_FORCE_PYTHON"] = "1"
+    try:
+        csv_py = str(tmp_path / "pyy_graph_1.csv")
+        build_overlap_graph(reads, csv_py, k=15, w=5, min_overlap=300)
+    finally:
+        del os.environ["GNNOME_FORCE_PYTHON"]
+
+    p_nat = parse_csv(csv_nat, reads)
+    p_py = parse_csv(csv_py, reads)
+    assert p_nat.n_nodes == p_py.n_nodes
+    assert p_nat.n_edges == p_py.n_edges
+    # same edge set (order may differ)
+    e_nat = set(zip(p_nat.src.tolist(), p_nat.dst.tolist()))
+    e_py = set(zip(p_py.src.tolist(), p_py.dst.tolist()))
+    assert e_nat == e_py
+
+
+def test_info_loaders(tmp_path):
+    import pickle
+
+    from gnnome_tpu.data.dataset import get_info, load_graph_data
+
+    os.makedirs(tmp_path / "info")
+    for kind, val in (("pred", {0: [1]}), ("succ", {1: [0]}),
+                      ("edges", {(0, 1): 0}), ("reads", ["ACGT"])):
+        with open(tmp_path / "info" / f"0_{kind}.pkl", "wb") as f:
+            pickle.dump(val, f)
+    assert get_info(0, str(tmp_path), "succ") == {1: [0]}
+    info = load_graph_data(1, str(tmp_path), use_reads=True)
+    assert info["reads"][0] == ["ACGT"]
+    assert info["edges"][0] == {(0, 1): 0}
