@@ -129,6 +129,9 @@ def get_contigs(
     rng = np.random.default_rng(seed)
     probs = 1.0 / (1.0 + np.exp(-scores))
     not_self = src != dst  # dgl.remove_self_loop (inference.py:184)
+    # visited sets include ^1 strand mates, which can exceed max(src, dst)
+    # when trailing nodes are edge-less
+    n_nodes = len(read_length)
 
     all_contigs: List[List[int]] = []
     visited: Set[int] = set()
@@ -137,7 +140,7 @@ def get_contigs(
         # edges of the remaining subgraph (both endpoints unvisited)
         if visited:
             vis_arr = np.fromiter(visited, dtype=np.int64)
-            keep_node = np.ones(int(max(src.max(), dst.max())) + 1, dtype=bool)
+            keep_node = np.ones(n_nodes, dtype=bool)
             keep_node[vis_arr] = False
             edge_alive = not_self & keep_node[src] & keep_node[dst]
         else:

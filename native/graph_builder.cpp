@@ -28,6 +28,8 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+#include <chrono>
+#include <cstdio>
 
 #include "common.hpp"
 
@@ -57,6 +59,13 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
                                    int min_matches, int offset_tol,
                                    int occ_cap, int threads) {
   const int n_reads = (int)reads.size();
+  auto t0 = std::chrono::steady_clock::now();
+  auto lap = [&t0](const char* stage) {
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[builder] %s: %.1fs\n", stage,
+                 std::chrono::duration<double>(now - t0).count());
+    t0 = now;
+  };
   std::vector<int64_t> lens(n_reads);
   for (int i = 0; i < n_reads; ++i) lens[i] = (int64_t)reads[i].size();
 
@@ -71,11 +80,16 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
   index.reserve(total);
   for (int r = 0; r < n_reads; ++r)
     for (auto& m : mins[r]) index.push_back({m.hash, r, m.pos, m.strand});
+  lap("minimizers+index-fill");
+  // NB: __gnu_parallel::sort was tried here and hangs/thrashes when the
+  // requested thread count oversubscribes the machine; plain sort is
+  // reliable and a minor fraction of total time.
   std::sort(index.begin(), index.end(),
             [](const IndexEntry& a, const IndexEntry& b) {
               return a.hash != b.hash ? a.hash < b.hash : a.read < b.read;
             });
 
+  lap("index-sort");
   // hash -> [start, end) ranges; drop over-frequent hashes (repeats)
   std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> ranges;
   ranges.reserve(index.size() / 4 + 16);
@@ -177,6 +191,7 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
       }
     }
   }
+  lap("matching");
   for (auto& v : per_thread)
     res.overlaps.insert(res.overlaps.end(), v.begin(), v.end());
   return res;
@@ -293,6 +308,9 @@ extern "C" int gn_build_overlap_graph(const char* reads_path,
   reads.reserve(records.size());
   for (auto& r : records) reads.push_back(r.seq);
 
+#ifdef _OPENMP
+  threads = std::min(std::max(threads, 1), omp_get_num_procs());
+#endif
   auto res = gn::find_overlaps(reads, k, w, min_overlap,
                                /*min_matches=*/4, /*offset_tol=*/128,
                                /*occ_cap=*/256, std::max(threads, 1));
