@@ -137,7 +137,6 @@ def main() -> None:
     primary = "pallas" if on_tpu else "xla"
     if os.environ.get("BENCH_SHARDED", "0") == "1":
         # dual-order owner-computes step on a 1-device mesh (no permutes)
-        import jax.numpy as jnp2
         from gnnome_tpu.data.dataset import GraphSample
         from gnnome_tpu.parallel.mesh import make_mesh
         from gnnome_tpu.parallel.sharded import make_sharded_train_step, prepare_batch

@@ -24,8 +24,6 @@ Domain invariants preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
-
 import jax
 import numpy as np
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ Graph conventions (must match ``graph_parser.py:154-311``):
 from __future__ import annotations
 
 import dataclasses
-import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 

@@ -11,13 +11,13 @@ import functools
 import os
 import pickle
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
 
 from gnnome_tpu.config import Config
-from gnnome_tpu.data.dataset import AssemblyGraphDataset, GraphSample
+from gnnome_tpu.data.dataset import AssemblyGraphDataset
 from gnnome_tpu.decode import greedy
 from gnnome_tpu.evaluation import assembly as asm
 from gnnome_tpu.evaluation.metrics import classification_metrics, confusion_counts

@@ -16,8 +16,6 @@ version is the fallback and spec.
 from __future__ import annotations
 
 from collections import deque
-from typing import Optional
-
 import numpy as np
 
 

@@ -43,11 +43,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from gnnome_tpu.core.graph import CSR, PAD_SEGMENT, AssemblyGraph
+from gnnome_tpu.core.graph import CSR, PAD_SEGMENT
 from gnnome_tpu.data.dataset import GraphSample
 from gnnome_tpu.models.common import linear
 from gnnome_tpu.ops.norm import masked_moments
-from gnnome_tpu.ops.segment import segment_sum_csr
 
 AXIS_GRAPH = "graph"
 AXIS_DATA = "data"

@@ -21,10 +21,9 @@ import os
 import pickle
 import shutil
 import urllib.request
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from gnnome_tpu.config import Config
-from gnnome_tpu.evaluation.assembly import CHR_LENS
 
 CHM13_URL = (
     "https://s3-us-west-2.amazonaws.com/human-pangenomics/T2T/CHM13/assemblies/"
