@@ -65,6 +65,8 @@ class GraphSample:
     overlap_similarity: np.ndarray  # f32[E]
     src: np.ndarray  # int32[E] (unpadded)
     dst: np.ndarray
+    # old (parser) node id -> device node id; identity when no reordering
+    node_map: np.ndarray = None
 
 
 def save_processed(parsed: ParsedGraph, y: np.ndarray, npz_path: str) -> None:
@@ -85,18 +87,33 @@ def znorm(x: np.ndarray) -> np.ndarray:
     return (x - x.mean()) / (std if std > 0 else 1.0)
 
 
-def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16) -> GraphSample:
+def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16,
+                locality_reorder: bool = True) -> GraphSample:
     """Load a cached graph and prepare device features.
 
     Feature prep mirrors ``utils.preprocess_graph`` (``utils.py:67-94``:
     e = z-scored [overlap_length, overlap_similarity]) and
     ``utils.add_positional_encoding`` (``utils.py:97-140``: in/out degree +
     k-step PageRank, α=0.95).
+
+    ``locality_reorder`` renumbers nodes in pair-aligned BFS order for the
+    *device* graph only (endpoint gathers become DRAM-local; host-side
+    arrays and decode stay in parser ids). Per-edge values are unaffected —
+    only endpoint ids change — so scores map back via the usual edge perm.
     """
     z = np.load(npz_path)
     src, dst = z["src"], z["dst"]
     n = int(z["n_nodes"])
-    graph = build_graph(src, dst, n)
+
+    if locality_reorder and n >= 2 and n % 2 == 0:
+        from gnnome_tpu.parallel.partition import locality_order_pairs
+
+        node_map = locality_order_pairs(src, dst, n)
+        dev_src, dev_dst = node_map[src], node_map[dst]
+    else:
+        node_map = np.arange(max(n, 1), dtype=np.int32)
+        dev_src, dev_dst = src, dst
+    graph = build_graph(dev_src, dev_dst, n)
 
     ol_len = znorm(z["overlap_length"].astype(np.float32))
     ol_sim = znorm(z["overlap_similarity"].astype(np.float32))
@@ -106,7 +123,10 @@ def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16) -> GraphSample:
     in_deg = np.bincount(dst, minlength=n).astype(np.float32)
     out_deg = np.bincount(src, minlength=n).astype(np.float32)
     # concat order [in_deg, out_deg, pe] matches train.py:249-251.
-    pe = np.concatenate([in_deg[:, None], out_deg[:, None], pr], axis=1)
+    pe_parser = np.concatenate([in_deg[:, None], out_deg[:, None], pr], axis=1)
+    # node features follow the device numbering
+    pe = np.empty_like(pe_parser)
+    pe[node_map[:n]] = pe_parser
 
     return GraphSample(
         idx=idx,
@@ -120,6 +140,7 @@ def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16) -> GraphSample:
         overlap_similarity=z["overlap_similarity"],
         src=src,
         dst=dst,
+        node_map=node_map[:n],
     )
 
 

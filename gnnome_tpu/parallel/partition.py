@@ -93,3 +93,36 @@ def edge_cut_fraction(parts: np.ndarray, src: np.ndarray, dst: np.ndarray) -> fl
     if len(src) == 0:
         return 0.0
     return float(np.mean(parts[src] != parts[dst]))
+
+
+def locality_order_pairs(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """old→new node id map that (a) preserves the ``2i``/``2i+1`` strand
+    pairing and (b) numbers reads in undirected-BFS order.
+
+    Parser node ids follow CSV order, which is uncorrelated with genome
+    position — endpoint gathers then hit random HBM rows. After this
+    reordering, |src − dst| is small for the chain-like majority of edges
+    (DRAM-page-local gathers now; the banded-gather kernel later).
+    """
+    assert n % 2 == 0, "node pairing requires an even node count"
+    rsrc, rdst = src // 2, dst // 2
+    read_order = bfs_order(rsrc, rdst, n // 2)  # new position -> old read
+    node_map = np.empty(n, dtype=np.int32)
+    for new_r, old_r in enumerate(read_order):
+        node_map[2 * old_r] = 2 * new_r
+        node_map[2 * old_r + 1] = 2 * new_r + 1
+    return node_map
+
+
+def band_statistics(src: np.ndarray, dst: np.ndarray) -> dict:
+    """|src − dst| distribution — how banded the graph is (diagnostic for
+    the banded-gather kernel design)."""
+    if len(src) == 0:
+        return {"p50": 0, "p90": 0, "p99": 0, "max": 0}
+    d = np.abs(src.astype(np.int64) - dst.astype(np.int64))
+    return {
+        "p50": int(np.percentile(d, 50)),
+        "p90": int(np.percentile(d, 90)),
+        "p99": int(np.percentile(d, 99)),
+        "max": int(d.max()),
+    }

@@ -70,9 +70,14 @@ def make_cluster_sampler(
         cluster_ids = list(range(actual_parts))
         rng.shuffle(cluster_ids)
 
-        pe_full = np.asarray(sample.pe)
-        # device features are canonical-order; bring back to parser order so
-        # edge_ids from induced_subgraph (parser order) index them correctly
+        # device features are canonical-order / device-numbered; bring back
+        # to parser order so edge_ids/node_ids from induced_subgraph (parser
+        # order) index them correctly
+        pe_dev = np.asarray(sample.pe)
+        if sample.node_map is not None:
+            pe_full = pe_dev[sample.node_map]  # parser row i = device row map[i]
+        else:
+            pe_full = pe_dev
         e_full = extract_edge_values(g, sample.e_feat)
         y_full = extract_edge_values(g, sample.y)
 
