@@ -139,10 +139,6 @@ class Overlap:
     similarity: float
 
 
-def _node_len(read_lens: List[int], node: int) -> int:
-    return read_lens[node // 2]
-
-
 def find_overlaps(
     reads: List[str],
     k: int = 15,

@@ -143,20 +143,6 @@ def _gather_bwd(num_rows, backend, res, g):
 gather_by_endpoint.defvjp(_gather_fwd, _gather_bwd)
 
 
-def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """Plain row gather (no autodiff customization)."""
-    return jnp.take(table, idx, axis=0)
-
-
-def sorted_segment_sum_xla(
-    data_sorted: jax.Array, segment_ids_sorted: jax.Array, num_segments: int
-) -> jax.Array:
-    return jax.ops.segment_sum(
-        data_sorted, segment_ids_sorted, num_segments=num_segments,
-        indices_are_sorted=True,
-    )
-
-
 # ---------------------------------------------------------------------------
 # fused gated aggregation
 # ---------------------------------------------------------------------------

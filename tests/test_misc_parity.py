@@ -83,3 +83,45 @@ def test_info_loaders(tmp_path):
     info = load_graph_data(1, str(tmp_path), use_reads=True)
     assert info["reads"][0] == ["ACGT"]
     assert info["edges"][0] == {(0, 1): 0}
+
+
+def test_oracle_debug_asserts():
+    from gnnome_tpu.data.oracle import assert_overlap, assert_strand, interval_union
+
+    rs = np.array([1, -1, 1, -1])
+    start = np.array([0, 0, 50, 50])
+    end = np.array([100, 100, 150, 150])
+    msgs = []
+    assert assert_strand(rs, [0, 2], log_fn=msgs.append)
+    assert not assert_strand(rs, [0, 1], log_fn=msgs.append)
+    assert assert_overlap(start, end, rs, [0, 2], log_fn=msgs.append)
+    assert not assert_overlap(np.array([0, 0, 200, 0]), end, rs, [0, 2],
+                              log_fn=msgs.append)
+    # merged positive-strand coverage intervals (algorithms.py:42-57)
+    assert interval_union(rs, start, end) == [[0, 150]]
+
+
+def test_degrees_and_device_pe(rng):
+    import jax.numpy as jnp2
+
+    from gnnome_tpu.core.graph import build_graph, degrees
+    from gnnome_tpu.data.pe import pagerank_pe_jnp, pagerank_pe_np
+
+    n = 30
+    src = rng.integers(0, n, 150).astype(np.int32)
+    dst = rng.integers(0, n, 150).astype(np.int32)
+    g = build_graph(src, dst, n)
+    in_d, out_d = degrees(g)
+    np.testing.assert_array_equal(
+        np.asarray(in_d)[:n], np.bincount(dst, minlength=n).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(out_d)[:n], np.bincount(src, minlength=n).astype(np.float32))
+
+    # on-device PageRank PE matches the numpy spec
+    pe_np = pagerank_pe_np(src, dst, n, 4)
+    # build canonical-order inputs for the jnp version
+    src_c = np.asarray(g.src)
+    dst_c = np.asarray(g.dst)
+    pe_dev = pagerank_pe_jnp(jnp2.asarray(src_c), jnp2.asarray(dst_c),
+                             g.edge_mask, g.n_nodes_padded, 4, n)
+    np.testing.assert_allclose(np.asarray(pe_dev)[:n], pe_np, rtol=1e-5, atol=1e-6)
