@@ -79,38 +79,51 @@ def gated_gcn_layer(
         + gather_by_endpoint(b2h, graph.dst, graph.by_dst, n_pad, backend)
         + b3e
     )
-    if batch_norm:
-        gate = masked_batch_norm(
-            gate,
-            graph.edge_mask,
-            params["norm_e"]["scale"],
-            params["norm_e"]["bias"],
-            axis_name=axis_name,
-        )
-    else:
-        gate = masked_layer_norm(gate, params["norm_e"]["scale"], params["norm_e"]["bias"])
-    e_new = jax.nn.relu(gate) + e_in
-
     # per-edge key arrays with padding marked (drops padded-edge cotangents
-    # in the fused op's backward)
+    # in the fused ops' backwards)
     from gnnome_tpu.core.graph import PAD_SEGMENT
 
     dst_key = jnp.where(graph.edge_mask, graph.dst, PAD_SEGMENT)
     src_key = jnp.where(graph.edge_mask, graph.src, PAD_SEGMENT)
 
-    # Forward: node i sums σ·A2h over its in-edges (j → i), keyed by dst.
-    # σ is computed inside the fused kernel (never materialized in HBM).
-    h_fwd = gated_aggregate(
-        a2h, e_new, graph.src, graph.by_src, graph.by_dst, n_pad,
-        key=dst_key, backend=backend, eps=eps,
-    )
-    # Backward: node j sums σ·A3h over its out-edges (j → i), keyed by src —
-    # the ``dgl.reverse`` pass of the reference without materializing a
-    # transposed graph (the by_src CSR *is* the transpose).
-    h_bwd = gated_aggregate(
-        a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
-        key=src_key, backend=backend, eps=eps,
-    )
+    if batch_norm:
+        # Gate-epilog fusion: BN statistics stay in XLA (their autodiff
+        # chain through the folded affine is ordinary JAX); the apply +
+        # relu + residual + σ + gating + both forward segment-sums run in
+        # ONE Pallas pass that also emits e_new (ops/spmm_pallas.py).
+        from gnnome_tpu.ops.norm import masked_moments
+        from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
+
+        mean, var = masked_moments(gate, graph.edge_mask, axis_name=axis_name)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        scale2 = inv * params["norm_e"]["scale"].astype(jnp.float32)
+        bias2 = params["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
+        affine = jnp.stack([scale2, bias2])
+
+        vals_f = gather_by_endpoint(a2h, graph.src, graph.by_src, n_pad, backend)
+        sum_f, e_new = fused_gate_sigma_aggregate(
+            gate, e_in, vals_f, affine, dst_key, graph.by_dst, n_pad, backend
+        )
+        d = h.shape[-1]
+        h_fwd = sum_f[:, :d] / (sum_f[:, d:] + eps)
+        # Backward direction: node j sums σ·A3h over its out-edges, keyed
+        # by src — the ``dgl.reverse`` pass without a transposed graph.
+        h_bwd = gated_aggregate(
+            a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
+            key=src_key, backend=backend, eps=eps,
+        )
+    else:
+        gate = masked_layer_norm(gate, params["norm_e"]["scale"], params["norm_e"]["bias"])
+        e_new = jax.nn.relu(gate) + e_in
+
+        h_fwd = gated_aggregate(
+            a2h, e_new, graph.src, graph.by_src, graph.by_dst, n_pad,
+            key=dst_key, backend=backend, eps=eps,
+        )
+        h_bwd = gated_aggregate(
+            a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
+            key=src_key, backend=backend, eps=eps,
+        )
 
     # aggregation sums accumulate in f32; return to the compute dtype
     h = a1h + h_fwd.astype(h_in.dtype) + h_bwd.astype(h_in.dtype)

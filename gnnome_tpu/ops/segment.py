@@ -239,3 +239,96 @@ def gated_aggregate(
     summed = _fused_sigma_aggregate(gate_pre, vals, key, csr, num_segments, backend)
     d = values.shape[-1]
     return summed[:, :d] / (summed[:, d:] + eps)
+
+
+# ---------------------------------------------------------------------------
+# gate-epilog fusion: affine-BN + relu + residual + σ + dual segment-sum
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_gate_sigma_aggregate(
+    gate_raw: jax.Array,  # [E, D] pre-norm gate, canonical (CSR) order
+    e_in: jax.Array,  # [E, D] residual edge state
+    vals: jax.Array,  # [E, D] gathered neighbor values
+    affine: jax.Array,  # [2, D] f32 rows (scale2, bias2): folded BN affine
+    key: jax.Array,  # int32[E] key node per edge (PAD_SEGMENT on padding)
+    csr: CSR,  # must be the identity (canonical) layout
+    num_segments: int,
+    backend: Optional[str] = None,
+):
+    """(sums [N, 2D], e_new [E, D]) where
+    ``e_new = relu(gate_raw·scale2 + bias2) + e_in`` and
+    ``sums = [Σ σ(e_new)·vals ‖ Σ σ(e_new)]`` per key node.
+
+    The whole per-edge gate epilog runs in one Pallas pass (BN-apply, relu,
+    residual, σ, gating, both segment reductions) — no intermediate HBM
+    round-trips. The BN *statistics* stay outside (their autodiff chain
+    through ``affine`` is ordinary JAX).
+    """
+    return _fused_gate_forward(gate_raw, e_in, vals, affine, key, csr,
+                               num_segments, backend)
+
+
+def _fused_gate_forward(gate_raw, e_in, vals, affine, key, csr,
+                        num_segments, backend):
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import fused_gate_sigma_aggregate_pallas
+
+        assert csr.identity, "gate fusion runs on the canonical layout only"
+        return fused_gate_sigma_aggregate_pallas(
+            gate_raw, e_in, vals, affine.astype(jnp.float32),
+            csr.segment_ids, csr.offsets, num_segments,
+            interpret=(backend == "pallas_interpret"),
+        )
+    # XLA composition (CPU/tests)
+    pre = gate_raw.astype(jnp.float32) * affine[0] + affine[1]
+    e_new = (jnp.maximum(pre, 0.0) + e_in.astype(jnp.float32)).astype(e_in.dtype)
+    sigma = jax.nn.sigmoid(e_new.astype(jnp.float32))
+    stacked = jnp.concatenate([sigma * vals.astype(jnp.float32), sigma], axis=-1)
+    sums = segment_sum_csr(stacked, csr, num_segments, backend=backend)
+    return sums, e_new
+
+
+def _fused_gate_fwd(gate_raw, e_in, vals, affine, key, csr, num_segments, backend):
+    sums, e_new = _fused_gate_forward(gate_raw, e_in, vals, affine, key, csr,
+                                      num_segments, backend)
+    # e_new is NOT saved — recomputed in bwd from (gate_raw, e_in, affine),
+    # trading a cheap elementwise pass for 0.5GB of residuals at 1M edges
+    return (sums, e_new), (gate_raw, e_in, vals, affine, key)
+
+
+def _fused_gate_bwd(num_segments, backend, res, cot):
+    gate_raw, e_in, vals, affine, key = res
+    g_sums, g_enew = cot
+    d = gate_raw.shape[-1]
+    valid = key < num_segments
+    safe = jnp.where(valid, key, 0)
+    # materialize the gathered cotangents in the compute dtype: the f32
+    # versions are ~1GB temps at 1M edges and tipped HBM over capacity
+    cdt = gate_raw.dtype
+    g1 = jnp.where(valid[:, None], jnp.take(g_sums[:, :d], safe, axis=0), 0.0).astype(cdt)
+    g2 = jnp.where(valid[:, None], jnp.take(g_sums[:, d:], safe, axis=0), 0.0).astype(cdt)
+    g1 = g1.astype(jnp.float32)
+    g2 = g2.astype(jnp.float32)
+
+    graw = gate_raw.astype(jnp.float32)
+    pre = graw * affine[0] + affine[1]
+    relu_mask = (pre > 0).astype(jnp.float32)
+    e_new = jnp.maximum(pre, 0.0) + e_in.astype(jnp.float32)
+    sig = jax.nn.sigmoid(e_new)
+    dsig = sig * (1.0 - sig)
+
+    d_enew = g_enew.astype(jnp.float32) + (g1 * vals.astype(jnp.float32) + g2) * dsig
+    d_pre = d_enew * relu_mask
+    d_gate_raw = (d_pre * affine[0]).astype(gate_raw.dtype)
+    d_e_in = d_enew.astype(e_in.dtype)
+    d_vals = (g1 * sig).astype(vals.dtype)
+    d_scale2 = jnp.sum(d_pre * graw, axis=0)
+    d_bias2 = jnp.sum(d_pre, axis=0)
+    d_affine = jnp.stack([d_scale2, d_bias2]).astype(affine.dtype)
+    return d_gate_raw, d_e_in, d_vals, d_affine, None, None
+
+
+fused_gate_sigma_aggregate.defvjp(_fused_gate_fwd, _fused_gate_bwd)

@@ -359,3 +359,201 @@ def fused_sigma_aggregate_pallas(
             transcendentals=e_pad * d,
         ),
     )(chunk_lo, chunk_hi, e_sorted, vals_sorted, ids_2d)
+
+
+# ---------------------------------------------------------------------------
+# gate-epilog fused kernel: affine-BN + relu + residual + σ + dual segment-sum
+# ---------------------------------------------------------------------------
+
+
+def _fused_gate_kernel(
+    chunk_lo_ref,  # SMEM int32[nblocks]
+    chunk_hi_ref,  # SMEM int32[nblocks]
+    affine_ref,  # VMEM [2, D]: rows = scale2, bias2 (folded BN affine)
+    graw_hbm,  # ANY [E, D] raw gate (pre-norm), CSR-sorted
+    ein_hbm,  # ANY [E, D] residual edge state, CSR-sorted
+    v_hbm,  # ANY [E, D] gathered neighbor values, CSR-sorted
+    ids_hbm,  # ANY int32[E // LANE, LANE]
+    out_ref,  # VMEM [BN, 2D] block: [Σ σ·v | Σ σ]
+    enew_hbm,  # ANY [E, D] output: e_new = relu(g*s2+b2) + e_in
+    g_buf,  # VMEM [2, CHUNK, D]
+    e_buf,  # VMEM [2, CHUNK, D]
+    v_buf,  # VMEM [2, CHUNK, D]
+    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    enew_buf,  # VMEM [2, CHUNK, D] staging for the e_new write-back
+    sems,  # DMA sems [2, 5]
+    *,
+    block_nodes: int,
+    feat_dim: int,
+):
+    i = pl.program_id(0)
+    lo = chunk_lo_ref[i]
+    hi = chunk_hi_ref[i]
+    node_ids = i * block_nodes + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, 1), 0
+    )
+    scale2 = affine_ref[0:1, :].astype(jnp.float32)
+    bias2 = affine_ref[1:2, :].astype(jnp.float32)
+
+    def in_dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                graw_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                g_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                ein_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                e_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                v_buf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                ids_buf.at[slot], sems.at[slot, 3]),
+        )
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            enew_buf.at[slot],
+            enew_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+            sems.at[slot, 4],
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        for d in in_dmas(0, lo):
+            d.start()
+
+    def body(c_rel, acc):
+        acc1, acc2 = acc
+        c = lo + c_rel
+        slot = jax.lax.rem(c_rel, 2)
+        nxt = jax.lax.rem(c_rel + 1, 2)
+
+        @pl.when(c + 1 < hi)
+        def _():
+            for d in in_dmas(nxt, c + 1):
+                d.start()
+
+        for d in in_dmas(slot, c):
+            d.wait()
+
+        # wait for the previous write from this staging slot (if any)
+        @pl.when(c_rel >= 2)
+        def _():
+            out_dma(slot, c - 2).wait()
+
+        for r in range(SUBCHUNKS):
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
+            sl = slice(r * LANE, (r + 1) * LANE)
+            graw = g_buf[slot, sl, :].astype(jnp.float32)
+            ein = e_buf[slot, sl, :].astype(jnp.float32)
+            v_tile = v_buf[slot, sl, :]
+            enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
+            enew_buf[slot, sl, :] = enew.astype(enew_buf.dtype)
+            sig = jax.nn.sigmoid(enew)
+            sv = (sig * v_tile.astype(jnp.float32)).astype(v_tile.dtype)
+            sb = sig.astype(v_tile.dtype)
+            acc1 = _acc_matmul(acc1, onehot, sv)
+            acc2 = _acc_matmul(acc2, onehot, sb)
+        out_dma(slot, c).start()
+        return acc1, acc2
+
+    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+
+    # drain outstanding e_new writes
+    @pl.when(hi - lo >= 1)
+    def _():
+        out_dma(jax.lax.rem(hi - lo - 1, 2), hi - 1).wait()
+
+    @pl.when(hi - lo >= 2)
+    def _():
+        out_dma(jax.lax.rem(hi - lo - 2, 2), hi - 2).wait()
+
+    out_ref[:, :feat_dim] = acc1
+    out_ref[:, feat_dim:] = acc2
+
+
+def fused_gate_sigma_aggregate_pallas(
+    gate_raw_sorted: jax.Array,
+    e_in_sorted: jax.Array,
+    vals_sorted: jax.Array,
+    affine: jax.Array,  # [2, D] rows (scale2, bias2): folded BN affine
+    segment_ids_sorted: jax.Array,
+    offsets: jax.Array,
+    num_segments: int,
+    interpret: bool = False,
+):
+    """One pass over the edges computes
+    ``e_new = relu(gate_raw·scale2 + bias2) + e_in`` (written out) and
+    ``[Σ σ(e_new)·v ‖ Σ σ(e_new)]`` per key node — the full per-edge gate
+    epilog without any intermediate HBM round-trips.
+    """
+    e_pad, d = gate_raw_sorted.shape
+    if d % LANE != 0:
+        # lane-pad narrow feature dims (HBM slices require 128 multiples)
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        padc = ((0, 0), (0, d_pad - d))
+        sums, e_new = fused_gate_sigma_aggregate_pallas(
+            jnp.pad(gate_raw_sorted, padc), jnp.pad(e_in_sorted, padc),
+            jnp.pad(vals_sorted, padc), jnp.pad(affine, padc),
+            segment_ids_sorted, offsets, num_segments, interpret)
+        return (
+            jnp.concatenate([sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1),
+            e_new[:, :d],
+        )
+    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    assert e_pad % ch == 0 and num_segments % bn == 0
+    nblocks = num_segments // bn
+    block_edge_lo = offsets[0:num_segments:bn]
+    block_edge_hi = offsets[bn : num_segments + 1 : bn]
+    chunk_lo = (block_edge_lo // ch).astype(jnp.int32)
+    chunk_hi = ((block_edge_hi + ch - 1) // ch).astype(jnp.int32)
+    # the last block also covers the padding chunks so every e_new row is
+    # written (their segment ids never match, so sums are unaffected);
+    # built scatter-free (at[].set/min would lower to HLO scatter)
+    is_last = jnp.arange(nblocks) == nblocks - 1
+    chunk_hi = jnp.where(is_last, e_pad // ch, chunk_hi).astype(jnp.int32)
+    chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
+    ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
+
+    kernel = functools.partial(
+        _fused_gate_kernel, block_nodes=bn, feat_dim=d
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # affine, whole array
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, 2 * d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # e_new stays in HBM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ch, d), gate_raw_sorted.dtype),
+            pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
+            pltpu.VMEM((2, ch, d), vals_sorted.dtype),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+    )
+    sums, e_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_segments, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, d), e_in_sorted.dtype),
+        ),
+        interpret=interpret,
+    )(chunk_lo, chunk_hi, affine, gate_raw_sorted, e_in_sorted,
+      vals_sorted, ids_2d)
+    return sums, e_new

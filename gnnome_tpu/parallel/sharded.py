@@ -292,35 +292,47 @@ def _sharded_gated_gcn_layer(
     gate_f, a2_src_f, a3_dst_f = gate_and_vals(fwd, e_f)
     gate_b, a2_src_b, a3_dst_b = gate_and_vals(bwd, e_b)
 
+    n_local = h_loc.shape[0]
+    csr_f = _local_csr(fwd["key_local"], fwd["offsets"])
+    csr_b = _local_csr(bwd["key_local"], bwd["offsets"])
+
     if batch_norm:
-        # stats over the fwd sharding only: each real edge exactly once
+        # stats over the fwd sharding only (each real edge exactly once,
+        # psum over the mesh); the folded affine + relu + residual + σ +
+        # both segment-sums run in the gate-epilog fused kernel per
+        # sharding — one pass over each edge set.
+        from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
+
         mean, var = masked_moments(gate_f, fwd["mask"], axis_name=AXIS_GRAPH)
-        gate_f = _apply_bn(gate_f, mean, var, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
-        gate_b = _apply_bn(gate_b, mean, var, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
+        inv = jax.lax.rsqrt(var + 1e-5)
+        scale2 = inv * lp["norm_e"]["scale"].astype(jnp.float32)
+        bias2 = lp["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
+        affine = jnp.stack([scale2, bias2])
+
+        agg_f, e_f_new = fused_gate_sigma_aggregate(
+            gate_f, e_f, a2_src_f, affine, fwd["key_local"], csr_f,
+            n_local, backend,
+        )
+        agg_b, e_b_new = fused_gate_sigma_aggregate(
+            gate_b, e_b, a3_dst_b, affine, bwd["key_local"], csr_b,
+            n_local, backend,
+        )
     else:
         from gnnome_tpu.ops.norm import masked_layer_norm
+        from gnnome_tpu.ops.segment import _fused_sigma_aggregate
 
         gate_f = masked_layer_norm(gate_f, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
         gate_b = masked_layer_norm(gate_b, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
+        e_f_new = (jax.nn.relu(gate_f) + e_f).astype(e_f.dtype)
+        e_b_new = (jax.nn.relu(gate_b) + e_b).astype(e_b.dtype)
+        agg_f = _fused_sigma_aggregate(
+            e_f_new, a2_src_f, fwd["key_local"], csr_f, n_local, backend
+        )
+        agg_b = _fused_sigma_aggregate(
+            e_b_new, a3_dst_b, bwd["key_local"], csr_b, n_local, backend
+        )
 
-    e_f_new = (jax.nn.relu(gate_f) + e_f).astype(e_f.dtype)
-    e_b_new = (jax.nn.relu(gate_b) + e_b).astype(e_b.dtype)
-
-    n_local = h_loc.shape[0]
-    from gnnome_tpu.ops.segment import _fused_sigma_aggregate
-
-    # fwd: fused σ + local segment-sum into own node block (local dst key)
-    csr_f = _local_csr(fwd["key_local"], fwd["offsets"])
-    agg_f = _fused_sigma_aggregate(
-        e_f_new, a2_src_f, fwd["key_local"], csr_f, n_local, backend
-    )
     h_fwd = agg_f[:, :d] / (agg_f[:, d:] + eps)
-
-    # bwd: fused σ + local segment-sum keyed by local src
-    csr_b = _local_csr(bwd["key_local"], bwd["offsets"])
-    agg_b = _fused_sigma_aggregate(
-        e_b_new, a3_dst_b, bwd["key_local"], csr_b, n_local, backend
-    )
     h_bwd = agg_b[:, :d] / (agg_b[:, d:] + eps)
 
     # aggregations accumulate f32; return to the compute dtype

@@ -123,3 +123,51 @@ def test_fused_sigma_aggregate_pallas_and_grads(rng):
                                rtol=5e-5, atol=5e-5)
     for a, b in zip(grads["pallas_interpret"], grads["xla"]):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_gate_epilog_matches_unfused(rng):
+    """Gate-epilog fusion (BN-affine+relu+residual+σ+sums+e_new) equals the
+    op-by-op composition — values and all gradients, both backends."""
+    import jax
+    from gnnome_tpu.core.graph import PAD_SEGMENT
+    from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
+
+    src, dst, g = make_graph(rng, n=70, e=450)
+    d = 128
+    e = len(src)
+    graw = prepare_edge_features(g, rng.standard_normal((e, d)).astype(np.float32))
+    e_in = prepare_edge_features(g, rng.standard_normal((e, d)).astype(np.float32))
+    vals = prepare_edge_features(g, rng.standard_normal((e, d)).astype(np.float32))
+    affine = jnp.asarray(
+        np.stack([rng.uniform(0.5, 1.5, d), rng.standard_normal(d)]).astype(np.float32))
+    dst_key = jnp.where(g.edge_mask, g.dst, PAD_SEGMENT)
+
+    def manual(graw_, e_in_, vals_, affine_):
+        pre = graw_ * affine_[0] + affine_[1]
+        e_new = jnp.maximum(pre, 0.0) + e_in_
+        sig = jax.nn.sigmoid(e_new)
+        from gnnome_tpu.ops.segment import segment_sum_csr
+        stacked = jnp.concatenate([sig * vals_, sig], axis=-1)
+        sums = segment_sum_csr(stacked, g.by_dst, g.n_nodes_padded, backend="xla")
+        return sums, e_new
+
+    def loss_of(fn):
+        def f(*args):
+            sums, e_new = fn(*args)
+            # touch both outputs, masked (padding rows are implementation-defined)
+            m = jnp.asarray(np.asarray(g.edge_mask))[:, None]
+            return jnp.sum(sums[: g.n_nodes] ** 2) + jnp.sum((e_new * m) ** 3)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss_of(manual), argnums=(0, 1, 2, 3))(
+        graw, e_in, vals, affine)
+
+    for backend in ("xla", "pallas_interpret"):
+        fn = lambda a, b, c, d_: fused_gate_sigma_aggregate(
+            a, b, c, d_, dst_key, g.by_dst, g.n_nodes_padded, backend)
+        got_l, got_g = jax.value_and_grad(loss_of(fn), argnums=(0, 1, 2, 3))(
+            graw, e_in, vals, affine)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-4)
+        for a, b in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
