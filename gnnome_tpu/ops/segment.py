@@ -192,8 +192,10 @@ def _fused_bwd(num_segments, backend, res, g):
     d = e_pre.shape[-1]
     valid = key < num_segments
     safe = jnp.where(valid, key, 0)
-    g1 = jnp.take(g[:, :d], safe, axis=0)
-    g2 = jnp.take(g[:, d:], safe, axis=0)
+    # gather the cotangent in the compute dtype (see spmm_pallas._bwd)
+    gc = g.astype(e_pre.dtype)
+    g1 = jnp.take(gc[:, :d], safe, axis=0).astype(jnp.float32)
+    g2 = jnp.take(gc[:, d:], safe, axis=0).astype(jnp.float32)
     sig = jax.nn.sigmoid(e_pre.astype(jnp.float32))
     dsig = sig * (1.0 - sig)
     grad_e = (g1 * vals.astype(jnp.float32) + g2) * dsig
@@ -305,13 +307,12 @@ def _fused_gate_bwd(num_segments, backend, res, cot):
     d = gate_raw.shape[-1]
     valid = key < num_segments
     safe = jnp.where(valid, key, 0)
-    # materialize the gathered cotangents in the compute dtype: the f32
-    # versions are ~1GB temps at 1M edges and tipped HBM over capacity
+    # gather the cotangents in the compute dtype: f32 gather outputs were
+    # ~1GB temps at 1M edges (OOM) and the top per-op cost in the profile
     cdt = gate_raw.dtype
-    g1 = jnp.where(valid[:, None], jnp.take(g_sums[:, :d], safe, axis=0), 0.0).astype(cdt)
-    g2 = jnp.where(valid[:, None], jnp.take(g_sums[:, d:], safe, axis=0), 0.0).astype(cdt)
-    g1 = g1.astype(jnp.float32)
-    g2 = g2.astype(jnp.float32)
+    gc = g_sums.astype(cdt)
+    g1 = jnp.where(valid[:, None], jnp.take(gc[:, :d], safe, axis=0), 0).astype(jnp.float32)
+    g2 = jnp.where(valid[:, None], jnp.take(gc[:, d:], safe, axis=0), 0).astype(jnp.float32)
 
     graw = gate_raw.astype(jnp.float32)
     pre = graw * affine[0] + affine[1]
