@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The ambient sitecustomize may pre-import jax._src before this conftest
+# runs, snapshotting JAX_PLATFORMS from the environment — force the value
+# through the config API too (works any time before backend init).
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against float64 numpy; keep f32 matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
 
