@@ -70,6 +70,9 @@ def main() -> None:
     remat = os.environ.get("BENCH_REMAT", "unroll_group")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    wide_env = os.environ.get("BENCH_WIDE", "0")
+    wide = {"0": False, "1": True}.get(wide_env, wide_env)  # "src" passes through
+    remat_group = int(os.environ.get("BENCH_GROUP", 4))
 
     dev = jax.devices()[0]
     log(f"bench device: {dev} platform={jax.default_backend()}")
@@ -106,7 +109,8 @@ def main() -> None:
             def loss_fn(p):
                 logits = model_forward(
                     p, graph, e_feat, pe, batch_norm=True, backend=backend,
-                    remat=remat_mode, compute_dtype=dtype,
+                    remat=remat_mode, compute_dtype=dtype, wide_gathers=wide,
+                    remat_group=remat_group,
                 )
                 return bce_with_logits(logits, y, graph.edge_mask, 0.5)
 

@@ -58,6 +58,7 @@ def gated_gcn_layer(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     eps: float = 1e-6,
+    wide_gathers: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     h_in, e_in = h, e
 
@@ -72,13 +73,33 @@ def gated_gcn_layer(
     d = h.shape[-1]
     # SDDMM: per-edge gate from endpoint features (shared by both
     # directions). gather_by_endpoint's VJP is a Pallas segment-sum over
-    # the transpose CSR — no XLA scatter in the backward pass. (Measured:
-    # separate narrow gathers beat combined wide-row gathers single-chip.)
-    gate = (
-        gather_by_endpoint(b1h, graph.src, graph.by_src, n_pad, backend)
-        + gather_by_endpoint(b2h, graph.dst, graph.by_dst, n_pad, backend)
-        + b3e
-    )
+    # the transpose CSR — no XLA scatter in the backward pass.
+    # ``wide_gathers`` pairs the two tables needed per endpoint
+    # ([b1h‖a2h] by src, [b2h‖a3h] by dst) — half the random-row count at
+    # double the row width. Measured slower at 200k edges; re-evaluated at
+    # 1M where gathers dominate the profile (PERFORMANCE.md).
+    a3_dst = None
+    if wide_gathers:  # True = both endpoints paired; "src" = src side only
+        src_rows = gather_by_endpoint(
+            jnp.concatenate([b1h, a2h], axis=-1), graph.src, graph.by_src,
+            n_pad, backend)
+        if wide_gathers == "src":
+            dst_rows = gather_by_endpoint(b2h, graph.dst, graph.by_dst,
+                                          n_pad, backend)
+            gate = src_rows[:, :d] + dst_rows + b3e
+        else:
+            dst_rows = gather_by_endpoint(
+                jnp.concatenate([b2h, a3h], axis=-1), graph.dst, graph.by_dst,
+                n_pad, backend)
+            gate = src_rows[:, :d] + dst_rows[:, :d] + b3e
+            a3_dst = dst_rows[:, d:]
+        a2_src = src_rows[:, d:]
+    else:
+        gate = (
+            gather_by_endpoint(b1h, graph.src, graph.by_src, n_pad, backend)
+            + gather_by_endpoint(b2h, graph.dst, graph.by_dst, n_pad, backend)
+            + b3e
+        )
     # per-edge key arrays with padding marked (drops padded-edge cotangents
     # in the fused ops' backwards)
     from gnnome_tpu.core.graph import PAD_SEGMENT
@@ -100,30 +121,53 @@ def gated_gcn_layer(
         bias2 = params["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
         affine = jnp.stack([scale2, bias2])
 
-        vals_f = gather_by_endpoint(a2h, graph.src, graph.by_src, n_pad, backend)
+        if not wide_gathers:
+            a2_src = gather_by_endpoint(a2h, graph.src, graph.by_src, n_pad, backend)
         sum_f, e_new = fused_gate_sigma_aggregate(
-            gate, e_in, vals_f, affine, dst_key, graph.by_dst, n_pad, backend
+            gate, e_in, a2_src, affine, dst_key, graph.by_dst, n_pad, backend
         )
         d = h.shape[-1]
         h_fwd = sum_f[:, :d] / (sum_f[:, d:] + eps)
         # Backward direction: node j sums σ·A3h over its out-edges, keyed
         # by src — the ``dgl.reverse`` pass without a transposed graph.
-        h_bwd = gated_aggregate(
-            a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
-            key=src_key, backend=backend, eps=eps,
-        )
+        if a3_dst is not None:
+            from gnnome_tpu.ops.segment import gated_aggregate_pregathered
+
+            h_bwd = gated_aggregate_pregathered(
+                a3_dst, e_new, graph.by_src, n_pad, key=src_key,
+                backend=backend, eps=eps,
+            )
+        else:
+            h_bwd = gated_aggregate(
+                a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
+                key=src_key, backend=backend, eps=eps,
+            )
     else:
         gate = masked_layer_norm(gate, params["norm_e"]["scale"], params["norm_e"]["bias"])
         e_new = jax.nn.relu(gate) + e_in
 
-        h_fwd = gated_aggregate(
-            a2h, e_new, graph.src, graph.by_src, graph.by_dst, n_pad,
-            key=dst_key, backend=backend, eps=eps,
-        )
-        h_bwd = gated_aggregate(
-            a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
-            key=src_key, backend=backend, eps=eps,
-        )
+        if wide_gathers:
+            from gnnome_tpu.ops.segment import gated_aggregate_pregathered
+
+            h_fwd = gated_aggregate_pregathered(
+                a2_src, e_new, graph.by_dst, n_pad, key=dst_key,
+                backend=backend, eps=eps,
+            )
+        else:
+            h_fwd = gated_aggregate(
+                a2h, e_new, graph.src, graph.by_src, graph.by_dst, n_pad,
+                key=dst_key, backend=backend, eps=eps,
+            )
+        if a3_dst is not None:
+            h_bwd = gated_aggregate_pregathered(
+                a3_dst, e_new, graph.by_src, n_pad, key=src_key,
+                backend=backend, eps=eps,
+            )
+        else:
+            h_bwd = gated_aggregate(
+                a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
+                key=src_key, backend=backend, eps=eps,
+            )
 
     # aggregation sums accumulate in f32; return to the compute dtype
     h = a1h + h_fwd.astype(h_in.dtype) + h_bwd.astype(h_in.dtype)

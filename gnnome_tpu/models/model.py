@@ -91,6 +91,7 @@ def model_forward(
     remat: str = "layer",  # 'none' | 'layer' | 'group'
     remat_group: int = 4,
     compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
+    wide_gathers: bool = False,
 ) -> jax.Array:
     """Returns per-edge logits, f32[E_pad] (padding rows are garbage; mask
     with ``graph.edge_mask`` before use).
@@ -121,6 +122,7 @@ def model_forward(
             lp, graph, h, e,
             batch_norm=batch_norm, backend=backend, axis_name=axis_name,
             dropout_rate=dropout_rate, dropout_rng=rng,
+            wide_gathers=wide_gathers,
         )
 
     n_layers = len(params["layers"])

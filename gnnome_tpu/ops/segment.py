@@ -238,8 +238,24 @@ def gated_aggregate(
     if key is None:
         raise ValueError("gated_aggregate requires the per-edge key array")
     vals = gather_by_endpoint(values, value_index, value_csr_t, values.shape[0], backend)
+    return gated_aggregate_pregathered(
+        vals, gate_pre, csr, num_segments, key, backend=backend, eps=eps
+    )
+
+
+def gated_aggregate_pregathered(
+    vals: jax.Array,
+    gate_pre: jax.Array,
+    csr: CSR,
+    num_segments: int,
+    key: jax.Array,
+    backend: Optional[str] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """``gated_aggregate`` when the neighbor values are already gathered
+    per edge (e.g. by a paired wide-row endpoint gather)."""
     summed = _fused_sigma_aggregate(gate_pre, vals, key, csr, num_segments, backend)
-    d = values.shape[-1]
+    d = vals.shape[-1]
     return summed[:, :d] / (summed[:, d:] + eps)
 
 

@@ -125,3 +125,40 @@ def test_bfloat16_mode_close(rng):
     assert s16.dtype == np.float32
     # bf16 carries ~3 decimal digits; scores must agree to ~1e-1 abs
     np.testing.assert_allclose(s16, s32, atol=0.15, rtol=0.15)
+
+
+@pytest.mark.parametrize("wide", [True, "src"])
+@pytest.mark.parametrize("batch_norm", [True, False])
+def test_wide_gathers_exact(rng, wide, batch_norm):
+    """Paired wide-row endpoint gathers are numerically identical to the
+    narrow-gather lowering (loss AND gradients), on both backends."""
+    from gnnome_tpu.evaluation.metrics import bce_with_logits
+
+    cfg = ModelConfig(num_gnn_layers=2, hidden_features=32, hidden_edge_features=8,
+                      hidden_edge_scores=16, nb_pos_enc=8)
+    n = 48
+    src, dst = random_dag(rng, n=n, e=220)
+    g = build_graph(src, dst, n)
+    params = init_model_params(jax.random.PRNGKey(4), cfg)
+    e_feat = prepare_edge_features(g, rng.standard_normal((len(src), 2)).astype(np.float32))
+    pe = jnp.asarray(pad_features(
+        rng.standard_normal((n, cfg.nb_pos_enc + 2)).astype(np.float32),
+        g.n_nodes_padded))
+    y = prepare_edge_features(g, (rng.random(len(src)) < 0.3).astype(np.float32))
+
+    def loss(p, w, backend):
+        logits = model_forward(p, g, e_feat, pe, batch_norm=batch_norm,
+                               backend=backend, wide_gathers=w)
+        return bce_with_logits(logits, y, g.edge_mask, 2.0)
+
+    l0, g0 = jax.value_and_grad(loss)(params, False, "xla")
+    l1, g1 = jax.value_and_grad(loss)(params, wide, "xla")
+    assert float(l0) == float(l1)
+    # same math; XLA fusion differences allow f32 reassociation in grads
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # pallas kernels handle the doubled feature width (gather-VJP segment
+    # sums run at 2·D); interpret mode executes the real kernel logic
+    l2 = loss(params, wide, "pallas_interpret")
+    np.testing.assert_allclose(float(l2), float(l0), rtol=1e-5, atol=1e-6)
