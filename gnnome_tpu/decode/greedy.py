@@ -121,11 +121,22 @@ def get_contigs(
     nb_paths: int = 50,
     len_threshold: int = 20,
     seed: int = 0,
+    engine: str = "batched",
 ) -> List[List[int]]:
     """Iterative contig extraction (``inference.py:182-253``).
 
-    ``scores`` are raw logits in original edge order.
+    ``scores`` are raw logits in original edge order. ``engine='batched'``
+    (default) advances the ``nb_paths`` candidate walks in vectorized
+    lockstep (decode/batched.py) — bit-identical results, far less Python
+    per step; ``'sequential'`` is the direct reference restatement below.
     """
+    if engine == "batched":
+        from gnnome_tpu.decode.batched import get_contigs_batched
+
+        return get_contigs_batched(
+            src, dst, scores, succs, preds, edges, prefix_length,
+            read_length, nb_paths, len_threshold, seed,
+        )
     rng = np.random.default_rng(seed)
     probs = 1.0 / (1.0 + np.exp(-scores))
     not_self = src != dst  # dgl.remove_self_loop (inference.py:184)

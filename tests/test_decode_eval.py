@@ -102,3 +102,34 @@ def test_n50_ng50():
     assert asm.calculate_n50(lengths) == 300
     assert asm.calculate_ng50(lengths, 2500) == -1  # can't reach half of ref
     assert asm.calculate_ng50(lengths, 800) == 400
+
+
+def test_batched_decode_equals_sequential(ds_root):
+    """Lockstep-vectorized decoding is bit-identical to the reference
+    restatement: same walks, same order (same rng consumption, same
+    first-max tie-breaking)."""
+    root, ds, genome = ds_root
+    idx, sample = ds[0]
+    succs = load_info(root, 0, "succ")
+    preds = load_info(root, 0, "pred")
+    edges = load_info(root, 0, "edges")
+
+    rng = np.random.default_rng(3)
+    y = np.asarray(sample.y)[: sample.graph.n_edges]
+    # noisy scores: imperfect model — forces real branching decisions
+    scores = np.where(y == 1, 2.5, -2.5) + rng.standard_normal(len(y)) * 2.0
+
+    kwargs = dict(nb_paths=12, len_threshold=5, seed=7)
+    for trial_seed in (7, 8):
+        kwargs["seed"] = trial_seed
+        w_seq = greedy.get_contigs(
+            sample.src, sample.dst, scores, succs, preds, edges,
+            sample.prefix_length, sample.read_length,
+            engine="sequential", **kwargs,
+        )
+        w_bat = greedy.get_contigs(
+            sample.src, sample.dst, scores, succs, preds, edges,
+            sample.prefix_length, sample.read_length,
+            engine="batched", **kwargs,
+        )
+        assert w_seq == w_bat
