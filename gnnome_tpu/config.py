@@ -42,6 +42,12 @@ class TrainConfig:
     # TPU-specific
     backend: Optional[str] = None  # segment-op backend: None=auto/'xla'/'pallas'
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    remat: str = "layer"  # 'none' | 'layer' | 'group' | 'unroll_group'
+    remat_group: int = 4
+    # paired wide-row endpoint gathers: 'auto' enables them at scales
+    # where they win (PERFORMANCE.md), with remat_group narrowed to fit
+    # the doubled gather rows in HBM; also False | True | 'src'
+    wide_gathers: object = "auto"
     checkpoint_dir: str = "checkpoints"
     pretrained_dir: str = "pretrained"
     resume: bool = True  # actually wired in, unlike train.py:61-93

@@ -82,9 +82,25 @@ def set_lr(opt_state, lr: float):
     return opt_state
 
 
+def resolve_perf(cfg_train, graph: AssemblyGraph):
+    """Resolve 'auto' perf knobs per graph: wide-row endpoint gathers win
+    once gathers dominate (≥ ~400k edges, PERFORMANCE.md) but their
+    [E, 2D] rows need a narrower remat group to fit HBM at megagraph
+    scale. Returns (wide_gathers, remat, remat_group)."""
+    wide = cfg_train.wide_gathers
+    group = cfg_train.remat_group
+    e = graph.n_edges_padded
+    if wide == "auto":
+        wide = e >= 400_000
+    if wide and e > 600_000 and cfg_train.remat in ("group", "unroll_group"):
+        group = min(group, 2)
+    return wide, cfg_train.remat, group
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("batch_norm", "backend", "compute_dtype", "remat"),
+    static_argnames=("batch_norm", "backend", "compute_dtype", "remat",
+                     "wide_gathers", "remat_group"),
     donate_argnames=("params", "opt_state"),
 )
 def train_step(
@@ -99,6 +115,8 @@ def train_step(
     backend: Optional[str] = None,
     compute_dtype: str = "float32",
     remat: str = "layer",
+    wide_gathers=False,
+    remat_group: int = 4,
 ):
     """One full-graph optimization step. Returns new state + metrics."""
 
@@ -106,6 +124,7 @@ def train_step(
         logits = model_forward(
             p, graph, e_feat, pe, batch_norm=batch_norm, backend=backend,
             compute_dtype=compute_dtype, remat=remat,
+            wide_gathers=wide_gathers, remat_group=remat_group,
         )
         loss = bce_with_logits(logits, y, graph.edge_mask, pos_weight)
         return loss, logits
@@ -118,15 +137,16 @@ def train_step(
     return params, opt_state, loss, counts
 
 
-@functools.partial(jax.jit, static_argnames=("batch_norm", "backend", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("batch_norm", "backend",
+                                             "compute_dtype", "wide_gathers"))
 def eval_step(
     params, graph: AssemblyGraph, e_feat, pe, y, pos_weight,
     batch_norm: bool = True, backend: Optional[str] = None,
-    compute_dtype: str = "float32",
+    compute_dtype: str = "float32", wide_gathers=False,
 ):
     logits = model_forward(
         params, graph, e_feat, pe, batch_norm=batch_norm, backend=backend,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, wide_gathers=wide_gathers,
     )
     loss = bce_with_logits(logits, y, graph.edge_mask, pos_weight)
     counts = confusion_counts(logits, y, graph.edge_mask)
@@ -161,6 +181,7 @@ def _epoch_pass(
         )
         g_losses, g_counts = [], []
         for piece in pieces:
+            wide, remat, group = resolve_perf(cfg.train, piece.graph)
             if train_mode:
                 params, opt_state, loss, counts = train_step(
                     params, opt_state, piece.graph, piece.e_feat, piece.pe,
@@ -168,6 +189,7 @@ def _epoch_pass(
                     batch_norm=cfg.model.batch_norm,
                     backend=cfg.train.backend,
                     compute_dtype=cfg.train.compute_dtype,
+                    remat=remat, wide_gathers=wide, remat_group=group,
                 )
             else:
                 loss, counts, _ = eval_step(
@@ -176,6 +198,7 @@ def _epoch_pass(
                     batch_norm=cfg.model.batch_norm,
                     backend=cfg.train.backend,
                     compute_dtype=cfg.train.compute_dtype,
+                    wide_gathers=wide,
                 )
             g_losses.append(float(loss))
             g_counts.append(counts)
