@@ -14,6 +14,7 @@
 #include <fstream>
 #include <sstream>
 #include <string>
+#include <sys/mman.h>
 #include <vector>
 
 namespace gn {
@@ -90,6 +91,41 @@ struct Minimizer {
   uint8_t strand;  // 0 = forward k-mer canonical, 1 = reverse
 };
 
+// Allocator that populates large allocations eagerly (MAP_POPULATE).
+// On this class of kernels/VMs, per-page minor faults in a process that
+// has ever run an OpenMP parallel region cost ~120us each (measured; ~2us
+// before the first parallel region) — first-touching a GB-scale buffer
+// through malloc took 40-130s. One populated mmap fills the same range in
+// ~1-2s. Used for the builder's index / overlap arrays.
+template <class T>
+struct PopAlloc {
+  using value_type = T;
+  PopAlloc() = default;
+  template <class U>
+  PopAlloc(const PopAlloc<U>&) {}
+  static constexpr size_t kMmapBytes = 1u << 20;
+  T* allocate(size_t n) {
+    const size_t bytes = n * sizeof(T);
+    if (bytes >= kMmapBytes) {
+      void* p = ::mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                       MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
+      if (p != MAP_FAILED) return (T*)p;
+    }
+    return (T*)::operator new(bytes);
+  }
+  void deallocate(T* p, size_t n) {
+    const size_t bytes = n * sizeof(T);
+    if (bytes >= kMmapBytes)
+      ::munmap(p, bytes);
+    else
+      ::operator delete(p);
+  }
+  template <class U>
+  bool operator==(const PopAlloc<U>&) const { return true; }
+  template <class U>
+  bool operator!=(const PopAlloc<U>&) const { return false; }
+};
+
 inline int base_code(char c) {
   switch (c) {
     case 'A': return 0;
@@ -101,16 +137,48 @@ inline int base_code(char c) {
 }
 
 // Window-minimum canonical minimizers (k<=31), matching the Python spec.
+//
+// Streaming O(n) monotonic-deque window minimum. The previous version
+// materialized an O(n) kmer vector per call; at scale those >128KB
+// temporaries were mmap'd and returned to the OS on every free, and the
+// resulting page-fault storm (kernel time, serialized on mmap) made this
+// stage ~40x slower than the arithmetic itself. The deque is w+1 entries,
+// allocator-free after the first call via thread_local scratch.
 inline std::vector<Minimizer> minimizers(const std::string& seq, int k, int w) {
   std::vector<Minimizer> out;
   const int n = (int)seq.size();
   if (n < k) return out;
+  out.reserve((size_t)(2 * (n - k + 1)) / (size_t)(w + 1) + 8);
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   const int shift = 2 * (k - 1);
   uint64_t fwd = 0, rev = 0;
   int valid = 0;
-  std::vector<Minimizer> kmers;
-  kmers.reserve(n);
+
+  auto less = [](const Minimizer& a, const Minimizer& b) {
+    return a.hash != b.hash ? a.hash < b.hash
+                            : (a.pos != b.pos ? a.pos < b.pos : a.strand < b.strand);
+  };
+
+  // monotonic deque over the last w kmers (by kmer-list index, exactly the
+  // windows the previous implementation scanned)
+  struct Cand { Minimizer m; int idx; };
+  static thread_local std::vector<Cand> dq_store;
+  if ((int)dq_store.size() < w + 1) dq_store.resize(w + 1);
+  Cand* dq = dq_store.data();
+  int head = 0, tail = 0;  // [head, tail) live candidates
+  auto dq_empty = [&]() { return head == tail; };
+
+  uint64_t last_hash = ~0ULL;
+  int last_pos = -1;
+  auto emit = [&](const Minimizer& best) {
+    if (best.hash != last_hash || best.pos != last_pos) {
+      out.push_back(best);
+      last_hash = best.hash;
+      last_pos = best.pos;
+    }
+  };
+
+  int m = 0;  // kmer-list index
   for (int i = 0; i < n; ++i) {
     int code = base_code(seq[i]);
     if (code < 0) {
@@ -120,31 +188,19 @@ inline std::vector<Minimizer> minimizers(const std::string& seq, int k, int w) {
     }
     fwd = ((fwd << 2) | (uint64_t)code) & mask;
     rev = (rev >> 2) | ((uint64_t)(3 - code) << shift);
-    if (++valid >= k) {
-      int pos = i - k + 1;
-      if (fwd <= rev)
-        kmers.push_back({hash64(fwd), pos, 0});
-      else
-        kmers.push_back({hash64(rev), pos, 1});
-    }
+    if (++valid < k) continue;
+    const int pos = i - k + 1;
+    Minimizer cur = (fwd <= rev) ? Minimizer{hash64(fwd), pos, 0}
+                                 : Minimizer{hash64(rev), pos, 1};
+    while (!dq_empty() && less(cur, dq[(tail - 1) % (w + 1)].m)) --tail;
+    dq[tail % (w + 1)] = {cur, m};
+    ++tail;
+    while (dq[head % (w + 1)].idx <= m - w) ++head;
+    if (m >= w - 1) emit(dq[head % (w + 1)].m);
+    ++m;
   }
-  auto less = [](const Minimizer& a, const Minimizer& b) {
-    return a.hash != b.hash ? a.hash < b.hash
-                            : (a.pos != b.pos ? a.pos < b.pos : a.strand < b.strand);
-  };
-  uint64_t last_hash = ~0ULL;
-  int last_pos = -1;
-  const int m = (int)kmers.size();
-  for (int start = 0; start <= std::max(m - w, 0) && start < m; ++start) {
-    const Minimizer* best = &kmers[start];
-    for (int j = 1; j < w && start + j < m; ++j)
-      if (less(kmers[start + j], *best)) best = &kmers[start + j];
-    if (best->hash != last_hash || best->pos != last_pos) {
-      out.push_back(*best);
-      last_hash = best->hash;
-      last_pos = best->pos;
-    }
-  }
+  // fewer than w kmers total: one partial window over all of them
+  if (m > 0 && m < w && !dq_empty()) emit(dq[head % (w + 1)].m);
   return out;
 }
 

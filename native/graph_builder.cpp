@@ -18,6 +18,9 @@
 //      "edge_id prefix_len weight similarity", GFA S-lines with 5 fields.
 #ifdef _OPENMP
 #include <omp.h>
+#ifdef _OPENMP
+#include <parallel/algorithm>
+#endif
 #endif
 
 #include <algorithm>
@@ -35,11 +38,12 @@
 
 namespace gn {
 
-struct IndexEntry {
+struct IndexEntry {  // packed to 16B: halves index memory + sort bandwidth
   uint64_t hash;
-  int32_t read;
   int32_t pos;
-  uint8_t strand;
+  uint32_t rs;  // read << 1 | strand
+  int32_t read() const { return (int32_t)(rs >> 1); }
+  uint8_t strand() const { return (uint8_t)(rs & 1); }
 };
 
 struct Overlap {
@@ -49,8 +53,10 @@ struct Overlap {
   float similarity;
 };
 
+using OverlapVec = std::vector<Overlap, PopAlloc<Overlap>>;
+
 struct BuilderResult {
-  std::vector<Overlap> overlaps;
+  OverlapVec overlaps;
   std::vector<char> contained;
 };
 
@@ -74,32 +80,67 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 #pragma omp parallel for schedule(dynamic, 16) num_threads(threads)
   for (int i = 0; i < n_reads; ++i) mins[i] = minimizers(reads[i], k, w);
 
-  size_t total = 0;
-  for (auto& m : mins) total += m.size();
-  std::vector<IndexEntry> index;
-  index.reserve(total);
-  for (int r = 0; r < n_reads; ++r)
-    for (auto& m : mins[r]) index.push_back({m.hash, r, m.pos, m.strand});
+  std::vector<size_t> offsets(n_reads + 1, 0);
+  for (int r = 0; r < n_reads; ++r) offsets[r + 1] = offsets[r] + mins[r].size();
+  const size_t total = offsets[n_reads];
+  std::vector<IndexEntry, PopAlloc<IndexEntry>> index(total);
+  // parallel direct-write fill: single-threaded first-touch after a
+  // parallel region costs ~120us/page on this kernel class (see PopAlloc);
+  // threaded writes into the populated mapping stay on the fast path
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int r = 0; r < n_reads; ++r) {
+    IndexEntry* out = index.data() + offsets[r];
+    for (auto& m : mins[r])
+      *out++ = {m.hash, m.pos, ((uint32_t)r << 1) | m.strand};
+  }
   lap("minimizers+index-fill");
-  // NB: __gnu_parallel::sort was tried here and hangs/thrashes when the
-  // requested thread count oversubscribes the machine; plain sort is
-  // reliable and a minor fraction of total time.
-  std::sort(index.begin(), index.end(),
-            [](const IndexEntry& a, const IndexEntry& b) {
-              return a.hash != b.hash ? a.hash < b.hash : a.read < b.read;
-            });
+  // total-order comparator: deterministic even under an unstable /
+  // parallel sort. (__gnu_parallel::sort hung here historically when the
+  // requested thread count oversubscribed the machine; the entry point
+  // now clamps threads to the core count, and the parallel sort is ~3x
+  // on 4 cores.)
+  auto index_less = [](const IndexEntry& a, const IndexEntry& b) {
+    if (a.hash != b.hash) return a.hash < b.hash;
+    if (a.rs != b.rs) return a.rs < b.rs;
+    return a.pos < b.pos;
+  };
+#ifdef _OPENMP
+  omp_set_num_threads(threads);
+  __gnu_parallel::sort(index.begin(), index.end(), index_less);
+#else
+  std::sort(index.begin(), index.end(), index_less);
+#endif
 
   lap("index-sort");
-  // hash -> [start, end) ranges; drop over-frequent hashes (repeats)
-  std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> ranges;
-  ranges.reserve(index.size() / 4 + 16);
-  for (size_t s = 0; s < index.size();) {
-    size_t e = s + 1;
-    while (e < index.size() && index[e].hash == index[s].hash) ++e;
-    if ((int)(e - s) <= occ_cap)
-      ranges.emplace(index[s].hash, std::make_pair((uint32_t)s, (uint32_t)e));
-    s = e;
+  // flat bucket table over the hash-sorted index (top bits -> range
+  // start). Replaces an unordered_map whose ~15M node allocations were
+  // the dominant cost of the matching stage on slow-fault kernels.
+  constexpr int kBucketBits = 24;
+  constexpr int kBucketShift = 64 - kBucketBits;
+  std::vector<uint32_t, PopAlloc<uint32_t>> bucket_start((1u << kBucketBits) + 1, 0);
+  {
+    // counting pass: bucket_start[b+1] = #entries in bucket b, then scan
+    for (auto& e : index) ++bucket_start[(e.hash >> kBucketShift) + 1];
+    uint32_t acc = 0;
+    for (size_t b = 1; b < bucket_start.size(); ++b) {
+      acc += bucket_start[b];
+      bucket_start[b] = acc;
+    }
+    bucket_start[0] = 0;
   }
+  // equal-hash range of h among index[s0, s1), or empty if over occ_cap
+  auto hash_range = [&](uint64_t h) -> std::pair<uint32_t, uint32_t> {
+    const uint32_t b = (uint32_t)(h >> kBucketShift);
+    const IndexEntry* lo = index.data() + bucket_start[b];
+    const IndexEntry* hi = index.data() + bucket_start[b + 1];
+    const IndexEntry* s = std::lower_bound(
+        lo, hi, h, [](const IndexEntry& e, uint64_t x) { return e.hash < x; });
+    const IndexEntry* e = s;
+    while (e < hi && e->hash == h && (int)(e - s) <= occ_cap) ++e;
+    if ((int)(e - s) > occ_cap) return {0, 0};  // over-frequent hash: drop
+    return {(uint32_t)(s - index.data()), (uint32_t)(e - index.data())};
+  };
+  lap("bucket-table");
 
   struct Match {
     int32_t other;
@@ -109,7 +150,7 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 
   BuilderResult res;
   res.contained.assign(n_reads, 0);
-  std::vector<std::vector<Overlap>> per_thread(std::max(threads, 1));
+  std::vector<OverlapVec> per_thread(std::max(threads, 1));
 
 #pragma omp parallel num_threads(threads)
   {
@@ -123,16 +164,16 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     for (int a = 0; a < n_reads; ++a) {
       matches.clear();
       for (auto& m : mins[a]) {
-        auto it = ranges.find(m.hash);
-        if (it == ranges.end()) continue;
-        for (uint32_t s = it->second.first; s < it->second.second; ++s) {
+        auto [rs_lo, rs_hi] = hash_range(m.hash);
+        for (uint32_t s = rs_lo; s < rs_hi; ++s) {
           const IndexEntry& o = index[s];
-          if (o.read <= a) continue;  // each unordered pair handled once
-          uint8_t orient = m.strand ^ o.strand;
+          const int32_t oread = o.read();
+          if (oread <= a) continue;  // each unordered pair handled once
+          uint8_t orient = m.strand ^ o.strand();
           int32_t diff = orient == 0
                              ? m.pos - o.pos
-                             : m.pos - (int32_t)(lens[o.read] - k - o.pos);
-          matches.push_back({o.read, orient, diff});
+                             : m.pos - (int32_t)(lens[oread] - k - o.pos);
+          matches.push_back({oread, orient, diff});
         }
       }
       std::sort(matches.begin(), matches.end(),
@@ -192,23 +233,38 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     }
   }
   lap("matching");
+  size_t n_ovl = 0;
+  for (auto& v : per_thread) n_ovl += v.size();
+  res.overlaps.reserve(n_ovl);
   for (auto& v : per_thread)
     res.overlaps.insert(res.overlaps.end(), v.begin(), v.end());
+  // Deterministic output: which thread produced an overlap depends on the
+  // dynamic schedule, so the concatenation order above varies run to run.
+  // A total-order sort makes the emitted graph (edge ids, transitive-
+  // reduction tie-breaks) identical across runs and thread counts.
+  std::sort(res.overlaps.begin(), res.overlaps.end(),
+            [](const Overlap& x, const Overlap& y) {
+              if (x.u != y.u) return x.u < y.u;
+              if (x.v != y.v) return x.v < y.v;
+              return x.prefix_len < y.prefix_len;
+            });
   return res;
 }
 
 // Myers transitive reduction with fuzz (same as the Python spec).
-static std::vector<Overlap> transitive_reduction(
-    const std::vector<Overlap>& overlaps, int64_t fuzz) {
+static OverlapVec transitive_reduction(
+    const OverlapVec& overlaps, int64_t fuzz) {
   std::unordered_map<int64_t, std::vector<const Overlap*>> adj;
   adj.reserve(overlaps.size());
   for (auto& o : overlaps) adj[o.u].push_back(&o);
   for (auto& kv : adj)
     std::sort(kv.second.begin(), kv.second.end(),
               [](const Overlap* x, const Overlap* y) {
-                return x->prefix_len < y->prefix_len;
+                return x->prefix_len != y->prefix_len
+                           ? x->prefix_len < y->prefix_len
+                           : x->v < y->v;  // total order: deterministic ties
               });
-  std::vector<Overlap> keep;
+  OverlapVec keep;
   keep.reserve(overlaps.size());
   for (auto& o : overlaps) {
     bool reduced = false;
@@ -232,7 +288,7 @@ static std::vector<Overlap> transitive_reduction(
 }
 
 static int emit_graph(const std::vector<FastaRecord>& records,
-                      const std::vector<Overlap>& overlaps_in,
+                      const OverlapVec& overlaps_in,
                       const std::vector<char>& contained,
                       const std::string& csv_path) {
   // keep non-contained reads appearing in >=1 overlap
@@ -248,7 +304,7 @@ static int emit_graph(const std::vector<FastaRecord>& records,
   for (size_t g = 0; g < used_reads.size(); ++g)
     read_to_line[used_reads[g]] = (int64_t)g;
 
-  std::vector<Overlap> overlaps;
+  OverlapVec overlaps;
   overlaps.reserve(overlaps_in.size());
   for (auto& o : overlaps_in)
     if (read_to_line[o.u / 2] >= 0 && read_to_line[o.v / 2] >= 0)
