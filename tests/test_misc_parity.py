@@ -125,3 +125,32 @@ def test_degrees_and_device_pe(rng):
     pe_dev = pagerank_pe_jnp(jnp2.asarray(src_c), jnp2.asarray(dst_c),
                              g.edge_mask, g.n_nodes_padded, 4, n)
     np.testing.assert_allclose(np.asarray(pe_dev)[:n], pe_np, rtol=1e-5, atol=1e-6)
+
+
+def test_native_builder_deterministic(tmp_path):
+    """Byte-identical CSV across repeated multithreaded runs (the dynamic
+    OMP schedule must not leak into edge order / transitive-reduction
+    tie-breaks)."""
+    from gnnome_tpu.data import native_bridge
+
+    if not native_bridge.available():
+        pytest.skip("native library not built")
+    from gnnome_tpu.data.simulate import simulate_reads, write_fasta
+
+    rng = np.random.default_rng(21)
+    g = rng.choice(list("ACGT"), size=40_000)
+    g[30_000:34_000] = g[5_000:9_000]  # planted repeat: branchy graph
+    records = simulate_reads("".join(g), coverage=12.0,
+                             lengths=np.full(150, 1_800, dtype=np.int64), seed=4)
+    reads = str(tmp_path / "r.fasta")
+    write_fasta(reads, records)
+
+    outs = []
+    for i in range(3):
+        csv = str(tmp_path / f"g{i}_graph_1.csv")
+        native_bridge.build_overlap_graph(reads, csv, threads=4,
+                                          identity=0.99, k=15, w=5,
+                                          min_overlap=300)
+        with open(csv, "rb") as f:
+            outs.append(f.read())
+    assert outs[0] == outs[1] == outs[2]
