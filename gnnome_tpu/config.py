@@ -39,6 +39,15 @@ class TrainConfig:
     num_parts_eval: int = 500
     batch_size_train: int = 50
     batch_size_eval: int = 50
+    # Reference draws a fresh METIS part count per graph per epoch in
+    # [num_parts-100, num_parts+100) (train.py:291); 0 disables the jitter.
+    cluster_jitter: int = 100
+    # Validate under the same cluster-minibatch regime as the reference
+    # (train.py:428-486). Default False = full-graph validation: forward-only
+    # full graphs fit TPU HBM, and full-graph eval metrics are exact rather
+    # than averaged over induced subgraphs (a deliberate regime difference,
+    # flag-controlled for parity runs).
+    cluster_validation: bool = False
     # TPU-specific
     backend: Optional[str] = None  # segment-op backend: None=auto/'xla'/'pallas'
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'

@@ -46,6 +46,37 @@ def load_length_distribution(path: str) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int64)
 
 
+#: vendored per-chromosome HiFi read-length distributions (gzipped copies of
+#: the reference's ``data/references/lengths/chr*.txt`` data files — one
+#: observed read length per line; e.g. chr19 has 110,835 samples)
+VENDORED_LENGTHS_DIR = os.path.join(os.path.dirname(__file__), "lengths")
+
+
+def resolve_distribution(chr_n: str, lengths_dir: str) -> Optional[str]:
+    """Return a path to the empirical length-distribution file for ``chr_n``.
+
+    Prefers an existing ``<lengths_dir>/<chr_n>.txt``; otherwise inflates the
+    vendored ``.txt.gz`` into ``lengths_dir`` (created on demand) so both the
+    Python and native simulators can read it. Returns ``None`` when no
+    empirical distribution is available (callers fall back to the
+    clipped-normal synthetic distribution)."""
+    import gzip
+    import shutil
+
+    txt = os.path.join(lengths_dir, f"{chr_n}.txt")
+    if os.path.exists(txt):
+        return txt
+    gz = os.path.join(VENDORED_LENGTHS_DIR, f"{chr_n}.txt.gz")
+    if os.path.exists(gz):
+        os.makedirs(lengths_dir, exist_ok=True)
+        tmp = txt + ".tmp"
+        with gzip.open(gz, "rb") as f_in, open(tmp, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+        os.replace(tmp, txt)
+        return txt
+    return None
+
+
 def simulate_reads(
     genome: str,
     coverage: float,

@@ -141,8 +141,11 @@ def get_contigs(
     probs = 1.0 / (1.0 + np.exp(-scores))
     not_self = src != dst  # dgl.remove_self_loop (inference.py:184)
     # visited sets include ^1 strand mates, which can exceed max(src, dst)
-    # when trailing nodes are edge-less
+    # when trailing nodes are edge-less — and exceed n_nodes-1 itself when
+    # n_nodes is odd (the last node's mate is n_nodes), so size the bitmap
+    # to the next even count (mirrors batched.py)
     n_nodes = len(read_length)
+    n_nodes += n_nodes & 1
 
     all_contigs: List[List[int]] = []
     visited: Set[int] = set()

@@ -88,7 +88,7 @@ def simulate_reads(
 ) -> None:
     """Simulate per-chromosome read sets to the needed counts
     (``pipeline.py:133-170``)."""
-    from gnnome_tpu.data.simulate import simulate_to_file
+    from gnnome_tpu.data.simulate import resolve_distribution, simulate_to_file
 
     cfg = cfg or Config()
     chr_path = os.path.join(ref_path, "chromosomes")
@@ -108,7 +108,7 @@ def simulate_reads(
                 os.path.join(chr_path, f"{chr_n}.fasta"),
                 out,
                 coverage=cfg.data.coverage,
-                distribution_path=os.path.join(len_path, f"{chr_n}.txt"),
+                distribution_path=resolve_distribution(chr_n, len_path),
                 seed=idx,
             )
 

@@ -52,20 +52,37 @@ def make_cluster_sampler(
     batch_size: int,
     nb_pos_enc: int,
     seed: int = 0,
+    jitter: int = 100,
+    recluster: bool = True,
 ) -> Callable[[GraphSample], List[GraphSample]]:
     """Returns ``sampler(sample) -> list of sub-GraphSamples`` covering the
-    graph once, re-partitioned (and reshuffled) per call like the
-    reference's per-epoch re-clustering (``train.py:284-293``)."""
+    graph once per call.
+
+    ``recluster=True`` (training regime) re-partitions on every call with a
+    part count drawn uniformly from ``[num_parts-jitter, num_parts+jitter)``,
+    matching the reference's per-graph-per-epoch METIS re-clustering with
+    randomized cluster count (``train.py:284-293``). ``recluster=False``
+    (eval regime / cheap mode) partitions each graph once at exactly
+    ``num_parts`` and caches it — the reference's eval path re-clusters per
+    epoch but always at the fixed ``num_parts_metis_eval``
+    (``train.py:436-439``), so a cached fixed partition is equivalent up to
+    cluster-visit order, which is reshuffled per call either way."""
     rng = random.Random(seed)
     part_cache: Dict[int, np.ndarray] = {}
 
     def sampler(sample: GraphSample) -> List[GraphSample]:
         g = sample.graph
-        if sample.idx not in part_cache:
-            part_cache[sample.idx] = partition_nodes(
-                sample.src, sample.dst, g.n_nodes, num_parts
-            )
-        parts = part_cache[sample.idx]
+        if recluster:
+            lo = max(num_parts - jitter, 2)
+            hi = max(num_parts + jitter, lo + 1)
+            k = rng.randrange(lo, hi) if jitter > 0 else num_parts
+            parts = partition_nodes(sample.src, sample.dst, g.n_nodes, k)
+        else:
+            if sample.idx not in part_cache:
+                part_cache[sample.idx] = partition_nodes(
+                    sample.src, sample.dst, g.n_nodes, num_parts
+                )
+            parts = part_cache[sample.idx]
         actual_parts = int(parts.max()) + 1 if len(parts) else 1
         cluster_ids = list(range(actual_parts))
         rng.shuffle(cluster_ids)

@@ -275,6 +275,7 @@ def train(
     )
 
     cluster_fn = None
+    valid_cluster_fn = None
     if tc.batch_size_train > 1 and tc.num_parts_train > 1:
         from gnnome_tpu.train.cluster import make_cluster_sampler
 
@@ -283,7 +284,19 @@ def train(
             batch_size=tc.batch_size_train,
             nb_pos_enc=cfg.model.nb_pos_enc,
             seed=tc.seed,
+            jitter=tc.cluster_jitter,
         )
+        if tc.cluster_validation and tc.batch_size_eval > 1 and tc.num_parts_eval > 1:
+            # reference eval regime: fixed part count, re-shuffled per epoch
+            # (train.py:436-439)
+            valid_cluster_fn = make_cluster_sampler(
+                num_parts=tc.num_parts_eval,
+                batch_size=tc.batch_size_eval,
+                nb_pos_enc=cfg.model.nb_pos_enc,
+                seed=tc.seed + 1,
+                jitter=0,
+                recluster=False,
+            )
 
     graphs = list(ds_train)
     t0 = time.time()
@@ -292,6 +305,7 @@ def train(
             graphs, ds_valid, params, opt_state, pos_weight, cfg, lr,
             scheduler, metrics_logger, ckpt_path, best_path, start_epoch,
             loss_train_hist, loss_valid_hist, cluster_fn, log_fn, t0,
+            valid_cluster_fn=valid_cluster_fn,
         )
     except KeyboardInterrupt:
         # clean exit, state already checkpointed each epoch (train.py:531-533)
@@ -310,7 +324,7 @@ def train(
 def _run_epochs(
     graphs, ds_valid, params, opt_state, pos_weight, cfg, lr, scheduler,
     metrics_logger, ckpt_path, best_path, start_epoch, loss_train_hist,
-    loss_valid_hist, cluster_fn, log_fn, t0,
+    loss_valid_hist, cluster_fn, log_fn, t0, valid_cluster_fn=None,
 ):
     tc = cfg.train
     for epoch in range(start_epoch, tc.num_epochs):
@@ -328,7 +342,8 @@ def _run_epochs(
         )
 
         _, _, valid_m = _epoch_pass(
-            list(ds_valid), params, opt_state, pos_weight, cfg, False
+            list(ds_valid), params, opt_state, pos_weight, cfg, False,
+            valid_cluster_fn,
         )
         loss_valid_hist.append(valid_m["loss"])
         log_fn(

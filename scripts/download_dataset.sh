@@ -1,43 +1,52 @@
 #!/bin/bash
-# Download the real CHM13 HiFi per-chromosome dataset (43 GB compressed,
-# ~180 GB unpacked) — reference: download_dataset.sh:1-51 (5 zip chunks
-# from Dropbox, reassembled and unzipped into <data>/real/chr*/raw/).
+# Download the real CHM13 HiFi per-chromosome dataset (~43 GB compressed,
+# ~182 GB unpacked). Faithful executable port of the reference's
+# download_dataset.sh:1-51: the same five Dropbox chunk URLs published by
+# the reference authors, reassembled with `zip --fix` and unzipped.
 #
 # Usage: scripts/download_dataset.sh <data_path>
-set -euo pipefail
+# Timing quoted by the reference: download ~1h20m, unzip ~20m.
+set -uo pipefail
 
-DATA_PATH=${1:-data}
-REAL_PATH="$DATA_PATH/real"
-mkdir -p "$REAL_PATH"
-cd "$REAL_PATH"
+DIR=${1:-data}
+mkdir -p "$DIR"
+cd "$DIR"
 
-# Chunked archive published by the reference authors (download_dataset.sh:20-32).
-URLS=(
-  "https://www.dropbox.com/s/fhjpicacvg0y6d8/real_chm13_chunks.zip.001?dl=1"
-  "https://www.dropbox.com/s/lgndwzsvn4mirxb/real_chm13_chunks.zip.002?dl=1"
-  "https://www.dropbox.com/s/6t9jwhtkhb9wuram/real_chm13_chunks.zip.003?dl=1"
-  "https://www.dropbox.com/s/jpw0gnpstzdvv2o/real_chm13_chunks.zip.004?dl=1"
-  "https://www.dropbox.com/s/jgrtvzfhnh43zwo/real_chm13_chunks.zip.005?dl=1"
+# Chunk URLs carried verbatim from the reference (download_dataset.sh:18-32).
+declare -A CHUNKS=(
+  [genomic_dataset_chunk.z01]="https://www.dropbox.com/s/fa14gza4cf9dsk3/genomic_dataset_chunk.z01?dl=1"
+  [genomic_dataset_chunk.z02]="https://www.dropbox.com/s/i8pftsjmbpkj1a0/genomic_dataset_chunk.z02?dl=1"
+  [genomic_dataset_chunk.z03]="https://www.dropbox.com/s/udlqbypizummctq/genomic_dataset_chunk.z03?dl=1"
+  [genomic_dataset_chunk.z04]="https://www.dropbox.com/s/2qzbswupfg90tbq/genomic_dataset_chunk.z04?dl=1"
+  [genomic_dataset_chunk.zip]="https://www.dropbox.com/s/0suo9k6fhtdg4p3/genomic_dataset_chunk.zip?dl=1"
 )
 
-echo "Downloading 5 chunks (~43 GB total; reference quotes ~1h20m)..."
-i=1
-for url in "${URLS[@]}"; do
-  part="real_chm13_chunks.zip.$(printf '%03d' "$i")"
+for part in genomic_dataset_chunk.z01 genomic_dataset_chunk.z02 \
+            genomic_dataset_chunk.z03 genomic_dataset_chunk.z04 \
+            genomic_dataset_chunk.zip; do
   if [ ! -f "$part" ]; then
-    curl -L --retry 5 -o "$part" "$url"
+    echo -e "\nDownloading $part..."
+    curl "${CHUNKS[$part]}" -o "$part" -J -L -k
   fi
-  i=$((i+1))
 done
 
-echo "Reassembling and unzipping (~20m)..."
-cat real_chm13_chunks.zip.* > real_chm13.zip
-unzip -o real_chm13.zip
-rm -f real_chm13.zip real_chm13_chunks.zip.*
+# Reassemble the split archive (reference download_dataset.sh:35-38):
+# `zip --fix` stitches the .z01-.z04 + .zip chunks into one archive.
+echo -e "\nAssembling genomic_dataset.zip (46GB)..."
+zip --fix genomic_dataset_chunk --out genomic_dataset
 
-# normalize per-chromosome directory layout expected by the pipeline
+echo -e "\nUnzipping genomic_dataset.zip (182GB)..."
+unzip genomic_dataset.zip
+
+rm -f genomic_dataset_chunk.z01 genomic_dataset_chunk.z02 \
+      genomic_dataset_chunk.z03 genomic_dataset_chunk.z04 \
+      genomic_dataset_chunk.zip genomic_dataset.zip
+
+# Per-chromosome directory layout the pipeline expects under <data>/real/.
+mkdir -p real
 for i in $(seq 1 22) X; do
-  mkdir -p "chr$i/raw" "chr$i/processed" "chr$i/info" "chr$i/builder_output"
+  mkdir -p "real/chr$i/raw" "real/chr$i/processed" "real/chr$i/info" \
+           "real/chr$i/builder_output"
 done
 
-echo "Done: $REAL_PATH"
+echo -e "Dataset downloaded, unzipped and ready to use.\n"

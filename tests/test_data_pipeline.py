@@ -94,3 +94,18 @@ def test_dataset_cache_and_load(tiny_dataset):
     # second construction hits the cache (no builder run)
     ds2 = AssemblyGraphDataset(root, nb_pos_enc=8)
     assert len(ds2) == 1
+
+
+def test_resolve_distribution_vendored(tmp_path):
+    """Vendored reference length distributions inflate on demand."""
+    from gnnome_tpu.data.simulate import load_length_distribution, resolve_distribution
+
+    p = resolve_distribution("chr19", str(tmp_path))
+    assert p is not None and p.endswith("chr19.txt")
+    lengths = load_length_distribution(p)
+    assert len(lengths) == 110836  # reference data/references/lengths/chr19.txt
+    assert lengths.min() > 0
+    # second call reuses the inflated file
+    assert resolve_distribution("chr19", str(tmp_path)) == p
+    # unknown chromosome -> None (clipped-normal fallback)
+    assert resolve_distribution("chrNOPE", str(tmp_path)) is None

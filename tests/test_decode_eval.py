@@ -133,3 +133,21 @@ def test_batched_decode_equals_sequential(ds_root):
             engine="batched", **kwargs,
         )
         assert w_seq == w_bat
+
+
+def test_sequential_decode_odd_node_count():
+    """^1 strand mates can index one past n_nodes when n_nodes is odd; the
+    visited bitmap must be sized to the next even count (VERDICT r1 weak #6)."""
+    src = np.array([0], dtype=np.int64)
+    dst = np.array([2], dtype=np.int64)
+    scores = np.array([2.0])
+    succs = {0: [2]}
+    preds = {2: [0]}
+    edges = {(0, 2): 0}
+    prefix_length = np.array([5])
+    read_length = np.array([10, 10, 10])  # odd n_nodes: mate of 2 is 3
+    contigs = greedy.get_contigs(
+        src, dst, scores, succs, preds, edges, prefix_length, read_length,
+        nb_paths=4, len_threshold=2, engine="sequential",
+    )
+    assert contigs == [[0, 2]]

@@ -50,7 +50,8 @@ def test_induced_subgraph_consistency(rng):
 
 def test_cluster_sampler_covers_graph(rng):
     sample = make_sample(rng, n=200, e=1200)
-    sampler = make_cluster_sampler(num_parts=8, batch_size=2, nb_pos_enc=8)
+    sampler = make_cluster_sampler(num_parts=8, batch_size=2, nb_pos_enc=8,
+                                   jitter=0)
     pieces = sampler(sample)
     assert len(pieces) == 4  # 8 clusters / batch 2
     covered = np.zeros(sample.graph.n_nodes, dtype=int)
@@ -65,3 +66,38 @@ def test_cluster_sampler_covers_graph(rng):
     parts = pn(sample.src, sample.dst, sample.graph.n_nodes, 8)
     total = sum((parts == c).sum() for c in range(parts.max() + 1))
     assert total == sample.graph.n_nodes
+
+
+def test_cluster_sampler_recluster_jitter(rng):
+    """Training regime re-partitions per call with a randomized part count
+    in [num_parts-jitter, num_parts+jitter) (reference train.py:291)."""
+    sample = make_sample(rng, n=300, e=1800)
+    sampler = make_cluster_sampler(num_parts=10, batch_size=100, nb_pos_enc=8,
+                                   jitter=4, seed=3)
+    counts = []
+    for _ in range(6):
+        pieces = sampler(sample)
+        # batch_size >= parts => one piece covering the whole graph; count
+        # the parts directly instead
+        covered = sum(len(p.read_length) for p in pieces)
+        assert covered == sample.graph.n_nodes
+        counts.append(len(pieces))
+    # part count randomization: with jitter the draw varies across calls
+    sampler2 = make_cluster_sampler(num_parts=10, batch_size=1, nb_pos_enc=8,
+                                    jitter=4, seed=3)
+    sizes = {len(sampler2(sample)) for _ in range(8)}
+    assert len(sizes) > 1, "re-cluster should vary the part count"
+    assert all(6 <= s <= 13 for s in sizes), sizes
+
+
+def test_cluster_sampler_eval_regime_cached(rng):
+    """Eval regime (recluster=False) partitions once at the fixed count."""
+    sample = make_sample(rng, n=200, e=1200)
+    sampler = make_cluster_sampler(num_parts=8, batch_size=1, nb_pos_enc=8,
+                                   jitter=0, recluster=False)
+    a = sampler(sample)
+    b = sampler(sample)
+    assert len(a) == len(b) == 8
+    na = sorted(len(p.read_length) for p in a)
+    nb = sorted(len(p.read_length) for p in b)
+    assert na == nb
