@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Flagship run: train on 15× chr19-scale synthetic graphs, assemble chr21.
+
+The network-free stand-in for the reference's headline experiment
+(``reproduce.py:6-27``: train 15× chr19 → ``model_15xchr19`` → assemble a
+held-out chromosome): synthetic genomes at the real CHM13 chr19/chr21
+lengths (61.7 Mb / 45.1 Mb, ``evaluate.py:9-33``) with planted repeat
+structure (segmental duplications — some exact, some diverged — and tandem
+arrays) so the assembly graphs contain genuine tangles; 32.4× simulated
+HiFi coverage with the vendored empirical read-length distributions
+(``pipeline.py:167-168``); the native overlap-graph builder; the full
+16-layer GatedGCN trained full-graph on TPU; greedy decode of the chr21
+graph + N50/NG50/reconstructed-% report.
+
+Stages (all resumable; rerun the script after a crash):
+  gen      synthesize genomes, simulate reads, build + label graphs
+  train    train the 16-layer model (resumes from checkpoint)
+  predict  score + decode the chr21 test graph, print the report
+
+Usage:
+  python scripts/flagship.py --root /tmp/flagship [--stage gen|train|predict|all]
+                             [--scale 1.0] [--epochs 60] [--tpu]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import pickle
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_TRAIN = 15
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def synth_genome(length: int, seed: int) -> str:
+    """Random genome of exactly ``length`` bp with planted repeat structure.
+
+    A uniform-random sequence is trivially assemblable (every overlap is
+    unique), so repeats are planted to create the tangles the GNN exists to
+    untangle: 8 segmental duplications of 30–150 kb (half copied exactly,
+    half at ~0.2% divergence so overlap similarity varies) and 2 exact
+    tandem arrays (3 copies of a 20–40 kb unit). Repeats longer than the
+    ~18 kb HiFi read length create true branch ambiguities.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, size=length, dtype=np.int8)
+    for i in range(8):
+        seg_len = int(rng.integers(30_000, 150_000))
+        s = int(rng.integers(0, length - seg_len))
+        d = int(rng.integers(0, length - seg_len))
+        seg = base[s : s + seg_len].copy()
+        if i % 2 == 1:  # diverged copy
+            m = rng.random(seg_len) < 0.002
+            seg[m] = (seg[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
+        base[d : d + seg_len] = seg
+    for _ in range(2):
+        unit_len = int(rng.integers(20_000, 40_000))
+        s = int(rng.integers(0, length - 3 * unit_len))
+        unit = base[s : s + unit_len].copy()
+        base[s + unit_len : s + 2 * unit_len] = unit
+        base[s + 2 * unit_len : s + 3 * unit_len] = unit
+    return bytes(np.array([65, 67, 71, 84], dtype=np.uint8)[base]).decode()
+
+
+def ensure_genome(path: str, length: int, seed: int) -> None:
+    if os.path.exists(path):
+        return
+    from gnnome_tpu.data.simulate import write_fasta
+
+    log(f"synthesizing {length:,} bp genome -> {path}")
+    t0 = time.time()
+    genome = synth_genome(length, seed)
+    write_fasta(path + ".tmp", [(os.path.basename(path)[:-6], genome)])
+    os.replace(path + ".tmp", path)
+    log(f"  done in {time.time() - t0:.0f}s")
+
+
+def gen_graph(root: str, idx: int, genome_path: str, chr_n: str, seed: int,
+              lengths_dir: str, threads: int, keep_reads: bool) -> None:
+    """Simulate + build + label one graph; idempotent via a done-marker."""
+    marker = os.path.join(root, "info", f"{idx}.done")
+    if os.path.exists(marker):
+        return
+    from gnnome_tpu.data.builder import build_overlap_graph
+    from gnnome_tpu.data.dataset import process_raw_graph
+    from gnnome_tpu.data.simulate import resolve_distribution, simulate_to_file
+
+    for sub in ("raw", "processed", "info", "builder_output"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    raw = os.path.join(root, "raw", f"{idx}.fasta")
+    if not os.path.exists(raw):
+        t0 = time.time()
+        n = simulate_to_file(
+            genome_path, raw, coverage=32.4,
+            distribution_path=resolve_distribution(chr_n, lengths_dir),
+            seed=seed,
+        )
+        log(f"{root}[{idx}]: simulated {n} reads in {time.time() - t0:.0f}s")
+    csv = os.path.join(root, "builder_output", f"{idx}_graph_1.csv")
+    t0 = time.time()
+    build_overlap_graph(raw, csv, threads=threads, k=29, w=9, min_overlap=2000)
+    log(f"{root}[{idx}]: overlap graph built in {time.time() - t0:.0f}s")
+    t0 = time.time()
+    parsed = process_raw_graph(csv, raw, root, idx)
+    log(f"{root}[{idx}]: parsed+labeled in {time.time() - t0:.0f}s "
+        f"({parsed.n_nodes} nodes, {len(parsed.src)} edges)")
+    # bound disk: raw reads + builder output are reproducible from the seed;
+    # the reads pickle is only needed for decode (test split)
+    os.remove(raw)
+    for f in glob.glob(os.path.join(root, "builder_output", f"{idx}_*")):
+        os.remove(f)
+    if not keep_reads:
+        reads_pkl = os.path.join(root, "info", f"{idx}_reads.pkl")
+        with open(reads_pkl, "wb") as f:
+            pickle.dump({}, f)  # placeholder; train never reads it
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def stage_gen(args) -> None:
+    from gnnome_tpu.evaluation.assembly import CHR_LENS
+
+    root = args.root
+    genomes = os.path.join(root, "genomes")
+    lengths_dir = os.path.join(root, "lengths")
+    os.makedirs(genomes, exist_ok=True)
+    meta = {
+        "chr19_len": int(CHR_LENS["chr19"] * args.scale),
+        "chr21_len": int(CHR_LENS["chr21"] * args.scale),
+        "scale": args.scale,
+    }
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    chr19 = os.path.join(genomes, "chr19.fasta")
+    chr21 = os.path.join(genomes, "chr21.fasta")
+    ensure_genome(chr19, meta["chr19_len"], seed=190)
+    ensure_genome(chr21, meta["chr21_len"], seed=210)
+
+    t_all = time.time()
+    for i in range(N_TRAIN):
+        gen_graph(os.path.join(root, "train"), i, chr19, "chr19", seed=i,
+                  lengths_dir=lengths_dir, threads=args.threads,
+                  keep_reads=False)
+    gen_graph(os.path.join(root, "valid"), 0, chr19, "chr19", seed=100,
+              lengths_dir=lengths_dir, threads=args.threads, keep_reads=False)
+    gen_graph(os.path.join(root, "test"), 0, chr21, "chr21", seed=0,
+              lengths_dir=lengths_dir, threads=args.threads, keep_reads=True)
+    with open(os.path.join(root, "test", "info", "g_to_chr.pkl"), "wb") as f:
+        pickle.dump({0: "chr21"}, f)
+    log(f"gen complete in {(time.time() - t_all) / 60:.1f} min")
+
+
+def make_config(args):
+    from gnnome_tpu.config import Config, ModelConfig, TrainConfig
+
+    return Config(
+        model=ModelConfig(),  # full 16-layer / 256-hidden reference shape
+        train=TrainConfig(
+            num_epochs=args.epochs,
+            batch_size_train=1,  # full-graph: the point of the TPU framework
+            checkpoint_dir=os.path.join(args.root, "checkpoints"),
+            pretrained_dir=os.path.join(REPO, "pretrained"),
+            backend="pallas" if args.tpu else None,
+            compute_dtype="bfloat16" if args.tpu else "float32",
+        ),
+    )
+
+
+def stage_train(args) -> None:
+    from gnnome_tpu.train.loop import train
+
+    out = train(
+        os.path.join(args.root, "train"),
+        os.path.join(args.root, "valid"),
+        out="15xchr19",
+        cfg=make_config(args),
+    )
+    log(f"train done: best model at {out['best_model']}")
+    log(f"loss_train: {[round(x, 4) for x in out['loss_train']]}")
+    log(f"loss_valid: {[round(x, 4) for x in out['loss_valid']]}")
+
+
+def stage_predict(args) -> None:
+    from gnnome_tpu.evaluation import assembly as asm
+    from gnnome_tpu.pipeline import predict
+
+    with open(os.path.join(args.root, "meta.json")) as f:
+        meta = json.load(f)
+    # synthetic genomes are exact-length stand-ins; report against them
+    asm.CHR_LENS["chr19"] = meta["chr19_len"]
+    asm.CHR_LENS["chr21"] = meta["chr21_len"]
+    results = predict(
+        os.path.join(args.root, "test"), "15xchr19", cfg=make_config(args)
+    )
+    n_contigs, longest, frac, n50, ng50 = results[0]
+    log(f"FLAGSHIP ASSEMBLY chr21: {n_contigs} contigs, longest {longest:,} "
+        f"bp, {frac:.1%} reconstructed, N50 {n50:,}, NG50 {ng50:,}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="/tmp/flagship")
+    parser.add_argument("--stage", default="all",
+                        choices=["gen", "train", "predict", "all"])
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="genome-length scale factor (1.0 = real chr sizes)")
+    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--threads", type=int, default=os.cpu_count() or 4)
+    parser.add_argument("--tpu", action="store_true")
+    args = parser.parse_args()
+
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.makedirs(args.root, exist_ok=True)
+    if args.stage in ("gen", "all"):
+        stage_gen(args)
+    if args.stage in ("train", "all"):
+        stage_train(args)
+    if args.stage in ("predict", "all"):
+        stage_predict(args)
+
+
+if __name__ == "__main__":
+    main()
