@@ -3,33 +3,50 @@
 This is the distributed execution path the reference entirely lacks
 (single device only, ``hyperparameters.py:25``; SURVEY.md §2c).
 
-Owner-computes design (v2):
+Owner-computes design with **halo (boundary-only) exchange** (v3):
 
   * **nodes** are block-sharded over the ``graph`` mesh axis; every dense
     projection (the six per-layer matmuls, ``layers/gated_gcn_full.py:107-113``)
-    runs on its local node block (MXU, no comm);
+    runs on its local node block (MXU, no comm). Node numbering is the
+    pair-aligned BFS locality order (``parallel/partition.py``), so
+    contiguous blocks are good partitions with a small edge cut;
   * **edges live in two shardings**: the *fwd* sharding assigns each edge
     to the owner of its ``dst`` (edges arrive dst-sorted — contiguous
     slices of the canonical order), the *bwd* sharding to the owner of its
     ``src``. Each aggregation is then a fully *local* sorted segment-sum
     into the device's own node block — the Pallas kernel runs unchanged
     per shard, and no cross-device scatter/reduce of node tensors exists;
-  * the per-edge gate is computed (redundantly) in both shardings from
-    all-gathered endpoint projections — duplicated elementwise FLOPs in
-    exchange for zero edge-state communication;
+  * **per-layer communication is proportional to the edge cut, not N**:
+    the fwd sharding needs remote rows only for boundary *source* nodes of
+    its edges (its keyed dst endpoints are local by construction), the bwd
+    sharding only for boundary *destination* nodes. ``prepare_batch``
+    precomputes, per ordered device pair (p→q), the exact boundary row set
+    R[p→q]; each layer gathers those rows into a per-peer send buffer,
+    exchanges them with one ``all_to_all`` per direction, and edge gathers
+    index a combined [N_local + P·H] (own block ‖ received halo) table.
+    H is the max |R[p→q]| (padded), so per-device per-layer traffic is
+    2 · P·H · 2D · bytes — for assembly graphs the cut (and hence P·H) is
+    orders of magnitude below N (see ``halo_comm_bytes``);
+  * every gather is scatter-free in autodiff: send-buffer gathers and
+    per-edge gathers go through ``gather_by_endpoint`` with host-built
+    CSRs, so their VJPs are sorted segment-sums (the Pallas kernel), never
+    XLA scatter-adds; the ``all_to_all`` transposes to itself. The code
+    orders each layer so the halo exchange is issued before the remaining
+    local matmuls (B2/A3/B3, gate locals) — no data dependence, letting
+    XLA's latency-hiding scheduler overlap the collective with local MXU
+    work;
+  * the per-edge gate is computed (redundantly) in both shardings —
+    duplicated elementwise FLOPs in exchange for zero edge-state
+    communication;
   * edge-BatchNorm statistics are computed once over the fwd sharding
     (each real edge exactly once, psum over ``graph``) and applied to both
     shardings, so numerics match single-device execution exactly;
-  * the only per-layer collectives are 4 ``all_gather`` of [N/P, D] node
-    projections (+1 for the score head) whose autodiff transposes are
-    ``psum_scatter`` — all riding ICI. A future refinement restricts the
-    all_gather to halo (boundary) nodes computed from the partitioner's
-    edge cut;
   * **graphs** shard over the ``data`` axis (one graph per replica group);
     loss means and gradients reduce over both axes.
 
 Numerical equality with single-device execution is asserted in
-tests/test_sharded.py.
+tests/test_sharded.py; cut-proportional comm is asserted in
+tests/test_halo.py.
 """
 from __future__ import annotations
 
@@ -47,6 +64,7 @@ from gnnome_tpu.core.graph import CSR, PAD_SEGMENT
 from gnnome_tpu.data.dataset import GraphSample
 from gnnome_tpu.models.common import linear
 from gnnome_tpu.ops.norm import masked_moments
+from gnnome_tpu.ops.segment import gather_by_endpoint
 
 AXIS_GRAPH = "graph"
 AXIS_DATA = "data"
@@ -57,22 +75,39 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# batch preparation: dual edge sharding with per-shard local CSR
+# batch preparation: dual edge sharding with per-shard local CSR + halo maps
 # ---------------------------------------------------------------------------
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EdgeShard:
-    """One direction's edge sharding. Leading dims: [B, P, E_bucket]."""
+    """One direction's edge sharding. Leading dims: [B, P, ...].
 
-    src: jax.Array  # int32 global src ids
-    dst: jax.Array  # int32 global dst ids
-    mask: jax.Array  # bool
+    ``ref`` indexes each edge's *non-keyed* endpoint (src for the fwd
+    sharding, dst for bwd) into the combined [N_local + P·H] table of
+    (own node block ‖ per-peer halo rows); ``send_idx`` lists the local
+    rows each peer needs (layout: peer-major, [P·H]). The ``ref_*`` /
+    ``send_*`` arrays are the host-built CSRs making both gathers'
+    VJPs sorted segment-sums instead of XLA scatters.
+    """
+
+    mask: jax.Array  # bool [B, P, E_b]
     key_local: jax.Array  # int32: keyed endpoint − node_base (PAD_SEGMENT pad)
     offsets: jax.Array  # int32 [B, P, N_local + 1] local CSR row pointers
-    e_feat: jax.Array  # f32 [B, P, E_bucket, 2]
-    y: jax.Array  # f32 [B, P, E_bucket] (labels; meaningful in fwd shard)
+    e_feat: jax.Array  # f32 [B, P, E_b, 2]
+    y: jax.Array  # f32 [B, P, E_b] (labels; meaningful in fwd shard)
+    # halo machinery
+    ref: jax.Array  # int32 [B, P, E_b] → combined-table row per edge
+    ref_order: jax.Array  # int32 [B, P, E_b]
+    ref_inv_order: jax.Array  # int32 [B, P, E_b]
+    ref_offsets: jax.Array  # int32 [B, P, N_local + P·H + 1]
+    ref_segment_ids: jax.Array  # int32 [B, P, E_b]
+    send_idx: jax.Array  # int32 [B, P, P·H] local rows to send, peer-major
+    send_order: jax.Array  # int32 [B, P, P·H]
+    send_inv_order: jax.Array  # int32 [B, P, P·H]
+    send_offsets: jax.Array  # int32 [B, P, N_local + 1]
+    send_segment_ids: jax.Array  # int32 [B, P, P·H]
 
 
 @jax.tree_util.register_dataclass
@@ -88,38 +123,83 @@ class ShardedBatch:
         return self.node_mask.shape[1]
 
 
+_SHARD_KEYS = tuple(f.name for f in dataclasses.fields(EdgeShard))
+
+
+def _sorted_csr_arrays(keys: np.ndarray, n_rows: int) -> Dict[str, np.ndarray]:
+    """Host-built CSR over an (unsorted) int key array: stable sort order,
+    inverse, row offsets, and sorted segment ids. Keys ≥ n_rows (padding)
+    sort last and carry PAD_SEGMENT."""
+    keys = np.where(keys < n_rows, keys, PAD_SEGMENT).astype(np.int64)
+    order = np.argsort(keys, kind="stable").astype(np.int32)
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(len(order), dtype=np.int32)
+    key_sorted = keys[order]
+    offsets = np.searchsorted(key_sorted, np.arange(n_rows + 1)).astype(np.int32)
+    return {
+        "order": order,
+        "inv_order": inv_order,
+        "offsets": offsets,
+        "segment_ids": key_sorted.astype(np.int32),
+    }
+
+
+def _halo_sets(
+    other_sorted_by_shard: List[np.ndarray], n_local: int, n_shards: int
+) -> Dict[Tuple[int, int], np.ndarray]:
+    """R[(p, q)]: sorted unique global ids owned by p that shard q's edges
+    reference as their non-keyed endpoint."""
+    R: Dict[Tuple[int, int], np.ndarray] = {}
+    for q in range(n_shards):
+        oth = other_sorted_by_shard[q]
+        owner = oth // n_local
+        for p in range(n_shards):
+            if p == q:
+                continue
+            R[(p, q)] = np.unique(oth[owner == p])
+    return R
+
+
 def _build_edge_shard(
     order: np.ndarray,  # permutation of canonical indices into key-sorted order
     key_sorted: np.ndarray,  # sorted keyed endpoint (PAD_SEGMENT on padding)
-    src_c: np.ndarray,
-    dst_c: np.ndarray,
+    other_c: np.ndarray,  # the non-keyed endpoint, canonical order
     e_feat_c: np.ndarray,
     y_c: np.ndarray,
     n_real_edges: int,
     n_pad: int,
     n_shards: int,
     e_bucket: int,
+    h_halo: int,
+    R: Dict[Tuple[int, int], np.ndarray],
 ) -> Dict[str, np.ndarray]:
     n_local = n_pad // n_shards
-    # shard boundaries in the sorted order: edges with key in block p
+    n_comb = n_local + n_shards * h_halo
     bounds = np.searchsorted(key_sorted[:n_real_edges],
                              np.arange(n_shards + 1) * n_local)
     out = {
-        "src": np.zeros((n_shards, e_bucket), np.int32),
-        "dst": np.zeros((n_shards, e_bucket), np.int32),
         "mask": np.zeros((n_shards, e_bucket), bool),
         "key_local": np.full((n_shards, e_bucket), PAD_SEGMENT, np.int32),
         "offsets": np.zeros((n_shards, n_local + 1), np.int32),
         "e_feat": np.zeros((n_shards, e_bucket, e_feat_c.shape[-1]), np.float32),
         "y": np.zeros((n_shards, e_bucket), np.float32),
+        "ref": np.zeros((n_shards, e_bucket), np.int32),
+        "ref_order": np.zeros((n_shards, e_bucket), np.int32),
+        "ref_inv_order": np.zeros((n_shards, e_bucket), np.int32),
+        "ref_offsets": np.zeros((n_shards, n_comb + 1), np.int32),
+        "ref_segment_ids": np.zeros((n_shards, e_bucket), np.int32),
+        "send_idx": np.zeros((n_shards, n_shards * h_halo), np.int32),
+        "send_order": np.zeros((n_shards, n_shards * h_halo), np.int32),
+        "send_inv_order": np.zeros((n_shards, n_shards * h_halo), np.int32),
+        "send_offsets": np.zeros((n_shards, n_local + 1), np.int32),
+        "send_segment_ids": np.zeros((n_shards, n_shards * h_halo), np.int32),
     }
     for p in range(n_shards):
         lo, hi = int(bounds[p]), int(bounds[p + 1])
         cnt = hi - lo
         assert cnt <= e_bucket, (cnt, e_bucket)
         sel = order[lo:hi]
-        out["src"][p, :cnt] = src_c[sel]
-        out["dst"][p, :cnt] = dst_c[sel]
+        oth = other_c[sel]
         out["mask"][p, :cnt] = True
         out["key_local"][p, :cnt] = key_sorted[lo:hi] - p * n_local
         out["e_feat"][p, :cnt] = e_feat_c[sel]
@@ -127,6 +207,44 @@ def _build_edge_shard(
         out["offsets"][p] = np.searchsorted(
             out["key_local"][p, :cnt], np.arange(n_local + 1)
         )
+
+        # per-edge combined-table reference: own block rows map directly,
+        # remote rows map to their slot in the peer's halo segment
+        owner = oth // n_local
+        ref = np.zeros(cnt, np.int64)
+        local = owner == p
+        ref[local] = oth[local] - p * n_local
+        for r in range(n_shards):
+            if r == p:
+                continue
+            m = owner == r
+            if m.any():
+                pos = np.searchsorted(R[(r, p)], oth[m])
+                ref[m] = n_local + r * h_halo + pos
+        out["ref"][p, :cnt] = ref
+        ref_keys = np.full(e_bucket, PAD_SEGMENT, np.int64)
+        ref_keys[:cnt] = ref
+        csr = _sorted_csr_arrays(ref_keys, n_comb)
+        out["ref_order"][p] = csr["order"]
+        out["ref_inv_order"][p] = csr["inv_order"]
+        out["ref_offsets"][p] = csr["offsets"]
+        out["ref_segment_ids"][p] = csr["segment_ids"]
+
+        # send lists: rows of p's block that each peer q needs (slot q)
+        send_keys = np.full(n_shards * h_halo, PAD_SEGMENT, np.int64)
+        for q in range(n_shards):
+            if q == p:
+                continue
+            rows = R[(p, q)] - p * n_local
+            send_keys[q * h_halo : q * h_halo + len(rows)] = rows
+        out["send_idx"][p] = np.where(
+            send_keys < n_local, send_keys, 0
+        ).astype(np.int32)
+        csr = _sorted_csr_arrays(send_keys, n_local)
+        out["send_order"][p] = csr["order"]
+        out["send_inv_order"][p] = csr["inv_order"]
+        out["send_offsets"][p] = csr["offsets"]
+        out["send_segment_ids"][p] = csr["segment_ids"]
     return out
 
 
@@ -143,17 +261,17 @@ def prepare_batch(
         )
 
     n_pad = _round_up(max(s.graph.n_nodes_padded for s in samples), 128 * n_graph)
+    n_local = n_pad // n_graph
 
+    # pass 1: shard bounds (edge buckets) + halo sets (halo bucket)
     per_graph = []
     max_bucket = 0
+    max_halo = 0
     for s in samples:
         g = s.graph
         e_pad = g.n_edges_padded
         src_c = np.asarray(g.src)
         dst_c = np.asarray(g.dst)
-        e_feat_c = np.asarray(s.e_feat)
-        y_c = np.asarray(s.y)
-        n_local = n_pad // n_graph
 
         # fwd: canonical order is already dst-sorted
         dst_key = np.where(np.arange(e_pad) < g.n_edges, dst_c, PAD_SEGMENT)
@@ -162,32 +280,48 @@ def prepare_batch(
         bwd_order = np.asarray(g.by_src.order)
         src_key = np.asarray(g.by_src.segment_ids)
 
-        # worst-case per-shard edge count for bucketing
-        for key_sorted in (dst_key, src_key):
+        dirs = []
+        for key_sorted, order, other in (
+            (dst_key, fwd_order, src_c),
+            (src_key, bwd_order, dst_c),
+        ):
             b = np.searchsorted(key_sorted[: g.n_edges],
                                 np.arange(n_graph + 1) * n_local)
             max_bucket = max(max_bucket, int(np.diff(b).max()) if n_graph else 0)
-        per_graph.append((g, src_c, dst_c, e_feat_c, y_c, dst_key, fwd_order,
-                          src_key, bwd_order))
+            other_by_shard = [
+                other[order[int(b[p]) : int(b[p + 1])]] for p in range(n_graph)
+            ]
+            R = _halo_sets(other_by_shard, n_local, n_graph)
+            if R:
+                max_halo = max(
+                    max_halo, max((len(v) for v in R.values()), default=0)
+                )
+            dirs.append((key_sorted, order, other, R))
+        per_graph.append((s, dirs))
 
     e_bucket = _round_up(max(max_bucket, 1), edge_bucket_multiple)
+    # Pallas segment-sum constraints on the halo tensors: the send list
+    # (edge dim P·H) must be a multiple of 1024 and the combined table
+    # (N_local + P·H rows) a multiple of 128 — both hold when P·H is a
+    # multiple of 1024 (n_local is already a multiple of 128).
+    h_halo = _round_up(max(max_halo, 1), max(1024 // n_graph, 1)) if n_graph > 1 else 0
 
     fwd_stack, bwd_stack, node_masks, pes = [], [], [], []
-    for (g, src_c, dst_c, e_feat_c, y_c, dst_key, fwd_order, src_key,
-         bwd_order) in per_graph:
-        fwd_stack.append(_build_edge_shard(
-            fwd_order, dst_key, src_c, dst_c, e_feat_c, y_c,
-            g.n_edges, n_pad, n_graph, e_bucket,
-        ))
-        bwd_stack.append(_build_edge_shard(
-            bwd_order, src_key, src_c, dst_c, e_feat_c, y_c,
-            g.n_edges, n_pad, n_graph, e_bucket,
-        ))
+    for s, dirs in per_graph:
+        g = s.graph
+        e_feat_c = np.asarray(s.e_feat)
+        y_c = np.asarray(s.y)
+        shards = []
+        for key_sorted, order, other, R in dirs:
+            shards.append(_build_edge_shard(
+                order, key_sorted, other, e_feat_c, y_c,
+                g.n_edges, n_pad, n_graph, e_bucket, h_halo, R,
+            ))
+        fwd_stack.append(shards[0])
+        bwd_stack.append(shards[1])
         nm = np.zeros(n_pad, bool)
         nm[: g.n_nodes] = True
         node_masks.append(nm)
-    # pe stacking (padded to the common n_pad)
-    for s in samples:
         pe = np.asarray(s.pe)
         out = np.zeros((n_pad, pe.shape[1]), np.float32)
         out[: pe.shape[0]] = pe
@@ -209,13 +343,7 @@ def prepare_batch(
     # data × graph
     node_spec = P(AXIS_DATA, AXIS_GRAPH)
     pe_spec = P(AXIS_DATA, AXIS_GRAPH, None)
-    shard_specs = EdgeShard(
-        src=P(AXIS_DATA, AXIS_GRAPH), dst=P(AXIS_DATA, AXIS_GRAPH),
-        mask=P(AXIS_DATA, AXIS_GRAPH), key_local=P(AXIS_DATA, AXIS_GRAPH),
-        offsets=P(AXIS_DATA, AXIS_GRAPH),
-        e_feat=P(AXIS_DATA, AXIS_GRAPH),
-        y=P(AXIS_DATA, AXIS_GRAPH),
-    )
+    edge_spec = _edge_specs()
 
     def put(arr, spec):
         return jax.device_put(arr, NamedSharding(mesh, spec))
@@ -224,14 +352,39 @@ def prepare_batch(
         node_mask=put(batch.node_mask, node_spec),
         pe=put(batch.pe, pe_spec),
         fwd=EdgeShard(**{
-            f.name: put(getattr(batch.fwd, f.name), getattr(shard_specs, f.name))
-            for f in dataclasses.fields(EdgeShard)
+            k: put(getattr(batch.fwd, k), getattr(edge_spec, k))
+            for k in _SHARD_KEYS
         }),
         bwd=EdgeShard(**{
-            f.name: put(getattr(batch.bwd, f.name), getattr(shard_specs, f.name))
-            for f in dataclasses.fields(EdgeShard)
+            k: put(getattr(batch.bwd, k), getattr(edge_spec, k))
+            for k in _SHARD_KEYS
         }),
     )
+
+
+def _edge_specs() -> EdgeShard:
+    # every field shards its leading [B, P] dims; trailing dims replicated
+    return EdgeShard(**{k: P(AXIS_DATA, AXIS_GRAPH) for k in _SHARD_KEYS})
+
+
+def halo_comm_bytes(batch: ShardedBatch, hidden: int = 256,
+                    dtype_bytes: int = 2) -> Dict[str, int]:
+    """Analytic per-device per-layer ICI traffic of the halo design vs the
+    all-gather design it replaced (PERFORMANCE.md scaling model).
+
+    Halo: each direction all_to_alls P·H rows of width 2·hidden.
+    All-gather: each direction gathered a full [N_pad, 2·hidden] table.
+    """
+    n_shards = batch.fwd.send_idx.shape[1]
+    send_slots = int(batch.fwd.send_idx.shape[-1])  # P·H
+    n_pad = batch.n_nodes_padded
+    row = 2 * hidden * dtype_bytes
+    return {
+        "halo_bytes_per_layer": 2 * send_slots * row,
+        "all_gather_bytes_per_layer": 2 * (n_pad - n_pad // n_shards) * row,
+        "halo_rows": send_slots,
+        "n_pad": n_pad,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -239,10 +392,65 @@ def prepare_batch(
 # ---------------------------------------------------------------------------
 
 
-def _gather_full(x_loc: jax.Array) -> jax.Array:
-    """[N/P, D] node-sharded → [N, D] replicated (ICI all-gather; autodiff
-    transpose is psum_scatter)."""
-    return jax.lax.all_gather(x_loc, AXIS_GRAPH, axis=0, tiled=True)
+def _halo_exchange(
+    x_loc: jax.Array,  # [N_local, W] locally-owned rows
+    shard: Dict[str, jax.Array],
+    n_shards: int,
+    backend: Optional[str],
+) -> jax.Array:
+    """[N_local, W] → combined [N_local + P·H, W] (own rows ‖ halo rows).
+
+    One gather of the boundary rows into a peer-major send buffer (VJP =
+    sorted segment-sum over the host-built send CSR) + one ``all_to_all``
+    (transposes to itself). Traffic ∝ edge cut, not N.
+    """
+    send_slots = shard["send_idx"].shape[0]
+    if send_slots == 0:
+        return x_loc
+    n_local = x_loc.shape[0]
+    send_csr = CSR(
+        identity=False,
+        order=shard["send_order"], inv_order=shard["send_inv_order"],
+        offsets=shard["send_offsets"], segment_ids=shard["send_segment_ids"],
+    )
+    sent = gather_by_endpoint(x_loc, shard["send_idx"], send_csr, n_local, backend)
+    h = send_slots // n_shards
+    recv = jax.lax.all_to_all(
+        sent.reshape(n_shards, h, x_loc.shape[-1]),
+        AXIS_GRAPH, split_axis=0, concat_axis=0,
+    )
+    return jnp.concatenate([x_loc, recv.reshape(send_slots, x_loc.shape[-1])],
+                           axis=0)
+
+
+def _ref_gather(
+    table: jax.Array,  # [N_local + P·H, W] combined endpoint table
+    shard: Dict[str, jax.Array],
+    backend: Optional[str],
+) -> jax.Array:
+    """Per-edge gather of the non-keyed endpoint's row; VJP = sorted
+    segment-sum over the combined table (scatter-free)."""
+    ref_csr = CSR(
+        identity=False,
+        order=shard["ref_order"], inv_order=shard["ref_inv_order"],
+        offsets=shard["ref_offsets"], segment_ids=shard["ref_segment_ids"],
+    )
+    return gather_by_endpoint(table, shard["ref"], ref_csr, table.shape[0], backend)
+
+
+def _key_gather(
+    values: jax.Array,  # [N_local, W]
+    shard: Dict[str, jax.Array],
+    backend: Optional[str],
+) -> jax.Array:
+    """Per-edge gather of the keyed (locally-owned) endpoint's row; VJP =
+    the local identity-CSR segment-sum."""
+    csr = _local_csr(shard["key_local"], shard["offsets"])
+    # padded edges carry PAD_SEGMENT — clamp the *gather* index to a real
+    # row (their values are dropped by masks/segment-ids downstream)
+    safe = jnp.where(shard["key_local"] < values.shape[0],
+                     shard["key_local"], 0)
+    return gather_by_endpoint(values, safe, csr, values.shape[0], backend)
 
 
 def _local_csr(key_local: jax.Array, offsets: jax.Array) -> CSR:
@@ -266,31 +474,35 @@ def _sharded_gated_gcn_layer(
     fwd: Dict[str, jax.Array],
     bwd: Dict[str, jax.Array],
     node_mask_loc: jax.Array,
+    n_shards: int,
     batch_norm: bool,
     backend: Optional[str],
     eps: float = 1e-6,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     h_in = h_loc
     d = h_loc.shape[-1]
+    # issue the halo exchanges first: they depend only on B1/A2 (fwd halo)
+    # and B2/A3 (bwd halo), so XLA's latency-hiding scheduler can overlap
+    # the all_to_alls with the remaining local projections and gate math
+    b1a2 = jnp.concatenate([linear(lp["B1"], h_loc), linear(lp["A2"], h_loc)],
+                           axis=-1)
+    src_tab = _halo_exchange(b1a2, fwd, n_shards, backend)  # fwd needs remote src
+    b2a3 = jnp.concatenate([linear(lp["B2"], h_loc), linear(lp["A3"], h_loc)],
+                           axis=-1)
+    dst_tab = _halo_exchange(b2a3, bwd, n_shards, backend)  # bwd needs remote dst
     a1 = linear(lp["A1"], h_loc)
-    a2 = linear(lp["A2"], h_loc)
-    a3 = linear(lp["A3"], h_loc)
-    b1 = linear(lp["B1"], h_loc)
-    b2 = linear(lp["B2"], h_loc)
 
-    # pair the tables needed per endpoint: 2 wide all_gathers + wide-row
-    # gathers instead of 4 + narrow (gathers dominate the profile)
-    src_tab = _gather_full(jnp.concatenate([b1, a2], axis=-1))  # [N, 2D]
-    dst_tab = _gather_full(jnp.concatenate([b2, a3], axis=-1))
+    # fwd shard: keyed endpoint = dst (local rows of b2a3), remote = src
+    sg = _ref_gather(src_tab, fwd, backend)  # [E_b, 2D] = [b1_src ‖ a2_src]
+    dgl_ = _key_gather(b2a3, fwd, backend)  # [E_b, 2D] = [b2_dst ‖ a3_dst]
+    gate_f = sg[:, :d] + dgl_[:, :d] + linear(lp["B3"], e_f)
+    a2_src_f = sg[:, d:]
 
-    def gate_and_vals(shard, e_state):
-        sg = jnp.take(src_tab, shard["src"], axis=0)
-        dg = jnp.take(dst_tab, shard["dst"], axis=0)
-        gate = sg[:, :d] + dg[:, :d] + linear(lp["B3"], e_state)
-        return gate, sg[:, d:], dg[:, d:]
-
-    gate_f, a2_src_f, a3_dst_f = gate_and_vals(fwd, e_f)
-    gate_b, a2_src_b, a3_dst_b = gate_and_vals(bwd, e_b)
+    # bwd shard: keyed endpoint = src (local rows of b1a2), remote = dst
+    dg = _ref_gather(dst_tab, bwd, backend)
+    sgl = _key_gather(b1a2, bwd, backend)
+    gate_b = sgl[:, :d] + dg[:, :d] + linear(lp["B3"], e_b)
+    a3_dst_b = dg[:, d:]
 
     n_local = h_loc.shape[0]
     csr_f = _local_csr(fwd["key_local"], fwd["offsets"])
@@ -354,13 +566,23 @@ def sharded_forward(
     node_mask_loc: jax.Array,
     fwd: Dict[str, jax.Array],
     bwd: Dict[str, jax.Array],
+    n_shards: int,
     batch_norm: bool = True,
     backend: Optional[str] = None,
-    remat: bool = True,
+    remat: str = "layer",  # 'none' | 'layer' | 'group' | 'unroll_group'
     compute_dtype: str = "float32",
     remat_group: int = 4,
 ) -> jax.Array:
-    """Per-shard forward; returns fwd-shard edge logits [E_b]."""
+    """Per-shard forward; returns fwd-shard edge logits [E_b].
+
+    ``remat`` mirrors the single-device model (models/model.py). The
+    'group' mode nests two scans, which hits a shard_map × nested-scan
+    compile pathology on the current TPU toolchain (PERFORMANCE.md);
+    'unroll_group' provides the same O(L/G + G) activation memory with a
+    Python-unrolled outer loop and is the recommended sharded setting.
+    """
+    if isinstance(remat, bool):  # backward compat with the v2 signature
+        remat = "layer" if remat else "none"
     if compute_dtype in ("bfloat16", "bf16"):
         cdt = jnp.bfloat16
         params = jax.tree_util.tree_map(
@@ -379,68 +601,87 @@ def sharded_forward(
     e_f = encode_e(fwd["e_feat"])
     e_b = encode_e(bwd["e_feat"])
 
-    # scan over stacked layer params (one compiled body) with hierarchical
-    # remat, exactly like the single-device model (models/model.py)
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layers"])
-    n_layers = len(params["layers"])
-
-    def body(carry, lp):
+    def layer_fn(lp, carry):
         h, e_f, e_b = carry
-        h, e_f, e_b = _sharded_gated_gcn_layer(
-            lp, h, e_f, e_b, fwd, bwd, node_mask_loc, batch_norm, backend
-        )
-        return (h, e_f, e_b), None
-
-    if remat:
-        body = jax.checkpoint(body)
-    if remat and n_layers % remat_group == 0 and n_layers > remat_group:
-        groups = n_layers // remat_group
-        grouped = jax.tree_util.tree_map(
-            lambda x: x.reshape(groups, remat_group, *x.shape[1:]), stacked
+        return _sharded_gated_gcn_layer(
+            lp, h, e_f, e_b, fwd, bwd, node_mask_loc, n_shards, batch_norm,
+            backend,
         )
 
-        def group_body(carry, glp):
-            out, _ = jax.lax.scan(body, carry, glp)
-            return out, None
+    n_layers = len(params["layers"])
+    if remat == "unroll_group":
+        def group_fn(group_params, h, e_f, e_b):
+            for lp in group_params:
+                h, e_f, e_b = layer_fn(lp, (h, e_f, e_b))
+            return h, e_f, e_b
 
-        (h, e_f, e_b), _ = jax.lax.scan(
-            jax.checkpoint(group_body), (h, e_f, e_b), grouped
-        )
+        g = remat_group if n_layers % remat_group == 0 else 1
+        ckpt_group = jax.checkpoint(group_fn)
+        for i in range(0, n_layers, g):
+            h, e_f, e_b = ckpt_group(params["layers"][i : i + g], h, e_f, e_b)
     else:
-        (h, e_f, e_b), _ = jax.lax.scan(body, (h, e_f, e_b), stacked)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params["layers"]
+        )
 
-    h_full = _gather_full(h)
-    feat = jnp.concatenate(
-        [
-            jnp.take(h_full, fwd["src"], axis=0),
-            jnp.take(h_full, fwd["dst"], axis=0),
-            e_f,
-        ],
-        axis=-1,
+        def body(carry, lp):
+            return layer_fn(lp, carry), None
+
+        if remat in ("layer", "group"):
+            body = jax.checkpoint(body)
+        if remat == "group" and n_layers % remat_group == 0 and n_layers > remat_group:
+            groups = n_layers // remat_group
+            grouped = jax.tree_util.tree_map(
+                lambda x: x.reshape(groups, remat_group, *x.shape[1:]), stacked
+            )
+
+            def group_body(carry, glp):
+                out, _ = jax.lax.scan(body, carry, glp)
+                return out, None
+
+            (h, e_f, e_b), _ = jax.lax.scan(
+                jax.checkpoint(group_body), (h, e_f, e_b), grouped
+            )
+        else:
+            (h, e_f, e_b), _ = jax.lax.scan(body, (h, e_f, e_b), stacked)
+
+    # score head, split-matmul form (models/model.py score_predictor):
+    # project locally (width hidden_edge_scores « D), halo-exchange the
+    # projected src rows, gather per edge — still cut-proportional comm.
+    d = h.shape[-1]
+    w1, bias1 = params["score1"]["w"], params["score1"]["b"]
+    h_src_proj = jnp.dot(h, w1[:d], preferred_element_type=h.dtype)
+    h_dst_proj = jnp.dot(h, w1[d : 2 * d], preferred_element_type=h.dtype)
+    src_proj_tab = _halo_exchange(h_src_proj, fwd, n_shards, backend)
+    pre = (
+        _ref_gather(src_proj_tab, fwd, backend)
+        + _key_gather(h_dst_proj, fwd, backend)
+        + jnp.dot(e_f, w1[2 * d :], preferred_element_type=e_f.dtype)
+        + bias1
     )
-    hidden = jax.nn.relu(linear(params["score1"], feat))
+    hidden = jax.nn.relu(pre)
     return linear(params["score2"], hidden)[:, 0].astype(jnp.float32)
 
 
 def make_sharded_loss(
-    mesh: Mesh, batch_norm: bool = True, remat: bool = True,
+    mesh: Mesh, batch_norm: bool = True, remat: str = "layer",
     backend: Optional[str] = None, compute_dtype: str = "float32",
+    remat_group: int = 4,
 ):
     """Builds loss(params, batch, pos_weight) -> scalar, sharded over mesh."""
+    n_shards = mesh.shape[AXIS_GRAPH]
 
     def shard_fn(params, node_mask, pe, fwd_t, bwd_t, pos_weight):
         # squeeze the per-shard leading [1(data), 1(graph)] dims
         node_mask = node_mask[0]
         pe = pe[0]
-        fwd = {k: getattr(fwd_t, k)[0, 0] for k in
-               ("src", "dst", "mask", "key_local", "offsets", "e_feat", "y")}
-        bwd = {k: getattr(bwd_t, k)[0, 0] for k in
-               ("src", "dst", "mask", "key_local", "offsets", "e_feat", "y")}
+        fwd = {k: getattr(fwd_t, k)[0, 0] for k in _SHARD_KEYS}
+        bwd = {k: getattr(bwd_t, k)[0, 0] for k in _SHARD_KEYS}
 
         logits = sharded_forward(
-            params, pe, node_mask, fwd, bwd,
+            params, pe, node_mask, fwd, bwd, n_shards,
             batch_norm=batch_norm, backend=backend, remat=remat,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat_group=remat_group,
         )
         from jax.nn import log_sigmoid
 
@@ -456,13 +697,7 @@ def make_sharded_loss(
         loss = jax.lax.pmean(loss, AXIS_DATA)
         return loss[None]
 
-    edge_spec = EdgeShard(
-        src=P(AXIS_DATA, AXIS_GRAPH), dst=P(AXIS_DATA, AXIS_GRAPH),
-        mask=P(AXIS_DATA, AXIS_GRAPH), key_local=P(AXIS_DATA, AXIS_GRAPH),
-        offsets=P(AXIS_DATA, AXIS_GRAPH),
-        e_feat=P(AXIS_DATA, AXIS_GRAPH),
-        y=P(AXIS_DATA, AXIS_GRAPH),
-    )
+    edge_spec = _edge_specs()
 
     def loss_fn(params, batch: ShardedBatch, pos_weight):
         out = shard_map(
@@ -485,8 +720,9 @@ def make_sharded_loss(
 
 
 def make_sharded_train_step(
-    mesh: Mesh, batch_norm: bool = True, remat: bool = True,
+    mesh: Mesh, batch_norm: bool = True, remat: str = "layer",
     backend: Optional[str] = None, compute_dtype: str = "float32",
+    remat_group: int = 4,
 ):
     """Full distributed training step: loss + grads (reduced over the mesh)
     + Adam update. Params live replicated; batch sharded data×graph."""
@@ -495,7 +731,8 @@ def make_sharded_train_step(
     from gnnome_tpu.train.loop import make_optimizer
 
     loss_fn = make_sharded_loss(mesh, batch_norm=batch_norm, remat=remat,
-                                backend=backend, compute_dtype=compute_dtype)
+                                backend=backend, compute_dtype=compute_dtype,
+                                remat_group=remat_group)
     opt = make_optimizer()
 
     @functools.partial(jax.jit, donate_argnames=("params", "opt_state"))
