@@ -146,12 +146,27 @@ def find_overlaps(
     min_overlap: int = 500,
     min_matches: int = 4,
     offset_tolerance: int = 128,
+    max_gap: int = 1000,
 ) -> Tuple[List[Overlap], List[bool]]:
     """All suffix→prefix overlaps between oriented reads + containment flags.
 
     Returns overlaps on *node* ids (2i / 2i+1) and a per-read contained
     flag (contained reads are dropped before graph emission, mirroring
     Raven — cf. the note at ``graph_parser.py:126``).
+
+    Every candidate is *verified*: the in-cluster matched minimizers must
+    span the full claimed overlap window (ends within ``max_gap``, no
+    internal gap over ``max_gap``).  Without this, two reads sharing only
+    an interspersed-repeat interior vote a consistent offset and produce a
+    false overlap/containment between distant loci — and because every
+    cross-locus edge is anchored to the *same* repeat coordinates, the
+    phantom A→B→A paths they form have exactly-summing prefix lengths,
+    which makes Myers transitive reduction delete the *true* local edges
+    (verified empirically: at 10 Mb / 32x every missing true edge was
+    explained only by paths through the repeat's other copy).  Alignment-
+    based assemblers (Raven, ``graph_dataset.py:118-122``) get this for
+    free from alignment extension; minimizer-chain span is the equivalent
+    check, and its coverage fraction doubles as the similarity estimate.
     """
     n_reads = len(reads)
     read_lens = [len(r) for r in reads]
@@ -183,23 +198,40 @@ def find_overlaps(
     for (a, b, orient), pairs in votes.items():
         if len(pairs) < min_matches:
             continue
-        diffs = np.array([p[0] for p in pairs])
-        t = int(np.median(diffs))
-        support = int(np.sum(np.abs(diffs - t) <= offset_tolerance))
+        # strongest offset cluster (max votes within a 2*tol window over
+        # the sorted diffs), not the global median: tandem repeats and
+        # noisy reads produce multi-modal vote distributions whose median
+        # can land between clusters and fail the support check
+        arr = np.asarray(pairs, dtype=np.int64)  # [n, 2]: (diff, pos-in-a)
+        diffs = np.sort(arr[:, 0])
+        j_idx = np.searchsorted(diffs, diffs + 2 * offset_tolerance, side="right")
+        counts = j_idx - np.arange(len(diffs))
+        bi = int(np.argmax(counts))
+        t = int(diffs[bi + int(counts[bi]) // 2])
+        in_cluster = np.abs(arr[:, 0] - t) <= offset_tolerance
+        support = int(in_cluster.sum())
         if support < min_matches:
             continue
         la, lb = read_lens[a], read_lens[b]
+        # claimed overlap window in a-forward coordinates: oriented-b spans
+        # [t, t+lb); intersect with a's [0, la)
+        wa_lo, wa_hi = max(0, t), min(la, t + lb)
+        spanned = _verify_span(
+            np.sort(arr[in_cluster, 1]), wa_lo, wa_hi, k, max_gap
+        )
+        if not spanned:
+            continue
+        ovl = wa_hi - wa_lo
+        sim = min(1.0, support / max(1.0, 2.0 * ovl / (w + 1)))
         # orientation of b relative to a-forward
         ob = orient
         # t = offset of oriented-b start within a-forward coordinates
         if t >= 0:
-            if t + lb <= la + offset_tolerance // 2 and t + lb <= la:
+            if t + lb <= la:
                 contained[b] = True
                 continue
-            ovl = la - t
             if ovl < min_overlap:
                 continue
-            sim = min(1.0, support / max(1.0, 2.0 * ovl / (k * w)))
             # a's suffix → b's prefix: edge 2a → 2b+ob, mirror (2b+ob)^1 → 2a^1
             u, v = 2 * a, 2 * b + ob
             overlaps.append(Overlap(u, v, t, ovl, sim))
@@ -209,16 +241,30 @@ def find_overlaps(
             if t2 + la <= lb:
                 contained[a] = True
                 continue
-            ovl = lb - t2
             if ovl < min_overlap:
                 continue
-            sim = min(1.0, support / max(1.0, 2.0 * ovl / (k * w)))
             # oriented-b's suffix → a's prefix
             u, v = 2 * b + ob, 2 * a
             overlaps.append(Overlap(u, v, t2, ovl, sim))
             overlaps.append(Overlap(v ^ 1, u ^ 1, la - ovl, ovl, sim))
 
     return overlaps, contained
+
+
+def _verify_span(
+    pos_sorted: np.ndarray, lo: int, hi: int, k: int, max_gap: int
+) -> bool:
+    """True when matched k-mer positions cover [lo, hi): both ends reached
+    within ``max_gap`` and no internal gap exceeds ``max_gap``."""
+    if len(pos_sorted) == 0:
+        return False
+    if int(pos_sorted[0]) > lo + max_gap:
+        return False
+    if int(pos_sorted[-1]) + k < hi - max_gap:
+        return False
+    if len(pos_sorted) > 1 and int(np.diff(pos_sorted).max()) > max_gap:
+        return False
+    return True
 
 
 def transitive_reduction(
@@ -322,5 +368,13 @@ def build_overlap_graph(
     headers = [h for h, _ in records]
     reads = [s for _, s in records]
     overlaps, contained = find_overlaps(reads, k=k, w=w, min_overlap=min_overlap)
+    # Remove contained reads BEFORE transitive reduction (Raven's order):
+    # reducing first can delete an edge as "explained" by a path through a
+    # read that containment-removal then deletes, leaving spurious dead
+    # ends where the genome is perfectly covered.
+    overlaps = [
+        o for o in overlaps
+        if not (contained[o.u // 2] or contained[o.v // 2])
+    ]
     overlaps = transitive_reduction(overlaps, 2 * len(reads))
     emit_graph(headers, reads, overlaps, contained, csv_path)

@@ -144,11 +144,13 @@ inline int base_code(char c) {
 // resulting page-fault storm (kernel time, serialized on mmap) made this
 // stage ~40x slower than the arithmetic itself. The deque is w+1 entries,
 // allocator-free after the first call via thread_local scratch.
-inline std::vector<Minimizer> minimizers(const std::string& seq, int k, int w) {
-  std::vector<Minimizer> out;
+//
+// The scan is a template over the emit sink so the two-pass arena build
+// (count, then fill) runs the IDENTICAL dedup/window logic in both passes.
+template <class EmitFn>
+inline void minimizer_scan(const std::string& seq, int k, int w, EmitFn&& sink) {
   const int n = (int)seq.size();
-  if (n < k) return out;
-  out.reserve((size_t)(2 * (n - k + 1)) / (size_t)(w + 1) + 8);
+  if (n < k) return;
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   const int shift = 2 * (k - 1);
   uint64_t fwd = 0, rev = 0;
@@ -172,7 +174,7 @@ inline std::vector<Minimizer> minimizers(const std::string& seq, int k, int w) {
   int last_pos = -1;
   auto emit = [&](const Minimizer& best) {
     if (best.hash != last_hash || best.pos != last_pos) {
-      out.push_back(best);
+      sink(best);
       last_hash = best.hash;
       last_pos = best.pos;
     }
@@ -201,6 +203,25 @@ inline std::vector<Minimizer> minimizers(const std::string& seq, int k, int w) {
   }
   // fewer than w kmers total: one partial window over all of them
   if (m > 0 && m < w && !dq_empty()) emit(dq[head % (w + 1)].m);
+}
+
+inline size_t minimizer_count(const std::string& seq, int k, int w) {
+  size_t c = 0;
+  minimizer_scan(seq, k, w, [&](const Minimizer&) { ++c; });
+  return c;
+}
+
+inline void minimizers_into(const std::string& seq, int k, int w,
+                            std::vector<Minimizer>& out) {
+  minimizer_scan(seq, k, w, [&](const Minimizer& m) { out.push_back(m); });
+}
+
+inline std::vector<Minimizer> minimizers(const std::string& seq, int k, int w) {
+  std::vector<Minimizer> out;
+  const int n = (int)seq.size();
+  if (n >= k)
+    out.reserve((size_t)(2 * (n - k + 1)) / (size_t)(w + 1) + 8);
+  minimizers_into(seq, k, w, out);
   return out;
 }
 

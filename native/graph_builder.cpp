@@ -63,7 +63,7 @@ struct BuilderResult {
 static BuilderResult find_overlaps(const std::vector<std::string>& reads,
                                    int k, int w, int min_overlap,
                                    int min_matches, int offset_tol,
-                                   int occ_cap, int threads) {
+                                   int occ_cap, int max_gap, int threads) {
   const int n_reads = (int)reads.size();
   auto t0 = std::chrono::steady_clock::now();
   auto lap = [&t0](const char* stage) {
@@ -75,59 +75,96 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
   std::vector<int64_t> lens(n_reads);
   for (int i = 0; i < n_reads; ++i) lens[i] = (int64_t)reads[i].size();
 
-  // 1. minimizers + global sorted index
-  std::vector<std::vector<Minimizer>> mins(n_reads);
-#pragma omp parallel for schedule(dynamic, 16) num_threads(threads)
-  for (int i = 0; i < n_reads; ++i) mins[i] = minimizers(reads[i], k, w);
-
+  // 1. minimizers into one flat read-major arena (two-pass: count, fill).
+  // A vector-of-vectors at chromosome scale is ~6 GB of small mallocs
+  // whose first-touch faults cost ~120us/page on this kernel class (see
+  // PopAlloc); the arena is one populated mapping, written in parallel.
+  // The second minimizer computation is cheaper than the faults it saves.
   std::vector<size_t> offsets(n_reads + 1, 0);
-  for (int r = 0; r < n_reads; ++r) offsets[r + 1] = offsets[r] + mins[r].size();
+#pragma omp parallel for schedule(dynamic, 64) num_threads(threads)
+  for (int r = 0; r < n_reads; ++r)
+    offsets[r + 1] = minimizer_count(reads[r], k, w);
+  for (int r = 0; r < n_reads; ++r) offsets[r + 1] += offsets[r];
   const size_t total = offsets[n_reads];
-  std::vector<IndexEntry, PopAlloc<IndexEntry>> index(total);
-  // parallel direct-write fill: single-threaded first-touch after a
-  // parallel region costs ~120us/page on this kernel class (see PopAlloc);
-  // threaded writes into the populated mapping stay on the fast path
-#pragma omp parallel for schedule(static) num_threads(threads)
-  for (int r = 0; r < n_reads; ++r) {
-    IndexEntry* out = index.data() + offsets[r];
-    for (auto& m : mins[r])
-      *out++ = {m.hash, m.pos, ((uint32_t)r << 1) | m.strand};
+  std::vector<IndexEntry, PopAlloc<IndexEntry>> arena(total);
+#pragma omp parallel num_threads(threads)
+  {
+    std::vector<Minimizer> scratch;
+#pragma omp for schedule(dynamic, 64)
+    for (int r = 0; r < n_reads; ++r) {
+      scratch.clear();
+      minimizers_into(reads[r], k, w, scratch);
+      IndexEntry* out = arena.data() + offsets[r];
+      for (auto& m : scratch)
+        *out++ = {m.hash, m.pos, ((uint32_t)r << 1) | m.strand};
+    }
   }
-  lap("minimizers+index-fill");
-  // total-order comparator: deterministic even under an unstable /
-  // parallel sort. (__gnu_parallel::sort hung here historically when the
-  // requested thread count oversubscribed the machine; the entry point
-  // now clamps threads to the core count, and the parallel sort is ~3x
-  // on 4 cores.)
+  lap("minimizers+arena-fill");
+
+  // 2. hash-sorted index by parallel radix scatter: 24-bit top-bits
+  // counting sort (per-thread histograms -> global offsets -> scatter)
+  // then per-bucket comparison sorts. One linear write pass instead of a
+  // multi-pass merge sort over the full 16B x total array; the per-bucket
+  // total-order sort keeps the result deterministic regardless of thread
+  // count or scatter interleaving.
+  constexpr int kBucketBits = 24;
+  constexpr int kBucketShift = 64 - kBucketBits;
+  constexpr size_t kNB = (size_t)1 << kBucketBits;
+  const int T = std::max(threads, 1);
+  std::vector<IndexEntry, PopAlloc<IndexEntry>> index(total);
+  std::vector<uint32_t, PopAlloc<uint32_t>> bucket_start(kNB + 1, 0);
+  {
+    std::vector<uint32_t, PopAlloc<uint32_t>> hist((size_t)T * kNB, 0);
+    const size_t chunk = (total + T - 1) / T;
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+      const int tid = omp_get_thread_num();
+#else
+      const int tid = 0;
+#endif
+      uint32_t* h = hist.data() + (size_t)tid * kNB;
+      const size_t lo = std::min(chunk * tid, total);
+      const size_t hi = std::min(lo + chunk, total);
+      for (size_t i = lo; i < hi; ++i)
+        ++h[arena[i].hash >> kBucketShift];
+    }
+    // global bucket offsets + per-thread write cursors (sequential scan
+    // over 16M x T counters, bandwidth-bound, ~fractions of a second)
+    uint32_t acc = 0;
+    for (size_t b = 0; b < kNB; ++b) {
+      bucket_start[b] = acc;
+      for (int t = 0; t < T; ++t) {
+        uint32_t c = hist[(size_t)t * kNB + b];
+        hist[(size_t)t * kNB + b] = acc;  // becomes thread t's cursor
+        acc += c;
+      }
+    }
+    bucket_start[kNB] = acc;
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+      const int tid = omp_get_thread_num();
+#else
+      const int tid = 0;
+#endif
+      uint32_t* cur = hist.data() + (size_t)tid * kNB;
+      const size_t lo = std::min(chunk * tid, total);
+      const size_t hi = std::min(lo + chunk, total);
+      for (size_t i = lo; i < hi; ++i)
+        index[cur[arena[i].hash >> kBucketShift]++] = arena[i];
+    }
+  }
   auto index_less = [](const IndexEntry& a, const IndexEntry& b) {
     if (a.hash != b.hash) return a.hash < b.hash;
     if (a.rs != b.rs) return a.rs < b.rs;
     return a.pos < b.pos;
   };
-#ifdef _OPENMP
-  omp_set_num_threads(threads);
-  __gnu_parallel::sort(index.begin(), index.end(), index_less);
-#else
-  std::sort(index.begin(), index.end(), index_less);
-#endif
-
-  lap("index-sort");
-  // flat bucket table over the hash-sorted index (top bits -> range
-  // start). Replaces an unordered_map whose ~15M node allocations were
-  // the dominant cost of the matching stage on slow-fault kernels.
-  constexpr int kBucketBits = 24;
-  constexpr int kBucketShift = 64 - kBucketBits;
-  std::vector<uint32_t, PopAlloc<uint32_t>> bucket_start((1u << kBucketBits) + 1, 0);
-  {
-    // counting pass: bucket_start[b+1] = #entries in bucket b, then scan
-    for (auto& e : index) ++bucket_start[(e.hash >> kBucketShift) + 1];
-    uint32_t acc = 0;
-    for (size_t b = 1; b < bucket_start.size(); ++b) {
-      acc += bucket_start[b];
-      bucket_start[b] = acc;
-    }
-    bucket_start[0] = 0;
-  }
+#pragma omp parallel for schedule(dynamic, 4096) num_threads(threads)
+  for (size_t b = 0; b < kNB; ++b)
+    std::sort(index.data() + bucket_start[b], index.data() + bucket_start[b + 1],
+              index_less);
+  lap("index-radix-sort");
   // equal-hash range of h among index[s0, s1), or empty if over occ_cap
   auto hash_range = [&](uint64_t h) -> std::pair<uint32_t, uint32_t> {
     const uint32_t b = (uint32_t)(h >> kBucketShift);
@@ -140,12 +177,12 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     if ((int)(e - s) > occ_cap) return {0, 0};  // over-frequent hash: drop
     return {(uint32_t)(s - index.data()), (uint32_t)(e - index.data())};
   };
-  lap("bucket-table");
 
   struct Match {
     int32_t other;
     uint8_t orient;
     int32_t diff;
+    int32_t pos;  // minimizer position in read a (overlap verification)
   };
 
   BuilderResult res;
@@ -160,20 +197,22 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     const int tid = 0;
 #endif
     std::vector<Match> matches;
+    std::vector<int32_t> cpos;  // in-cluster positions (verification scratch)
 #pragma omp for schedule(dynamic, 8)
     for (int a = 0; a < n_reads; ++a) {
       matches.clear();
-      for (auto& m : mins[a]) {
+      for (size_t mi = offsets[a]; mi < offsets[a + 1]; ++mi) {
+        const IndexEntry& m = arena[mi];
         auto [rs_lo, rs_hi] = hash_range(m.hash);
         for (uint32_t s = rs_lo; s < rs_hi; ++s) {
           const IndexEntry& o = index[s];
           const int32_t oread = o.read();
           if (oread <= a) continue;  // each unordered pair handled once
-          uint8_t orient = m.strand ^ o.strand();
+          uint8_t orient = m.strand() ^ o.strand();
           int32_t diff = orient == 0
                              ? m.pos - o.pos
                              : m.pos - (int32_t)(lens[oread] - k - o.pos);
-          matches.push_back({oread, orient, diff});
+          matches.push_back({oread, orient, diff, m.pos});
         }
       }
       std::sort(matches.begin(), matches.end(),
@@ -191,39 +230,66 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
         const uint8_t orient = matches[s].orient;
         const size_t cnt = e - s;
         if ((int)cnt >= min_matches) {
-          int64_t t = matches[s + cnt / 2].diff;  // median (sorted by diff)
-          int support = 0;
+          // strongest offset cluster (max votes within a 2*tol window over
+          // the sorted diffs), not the global median: tandem repeats and
+          // (later) noisy reads produce multi-modal vote distributions
+          // whose median can land between clusters and fail support.
+          size_t best_i = s, best_j = s;
+          for (size_t i = s, j = s; i < e; ++i) {
+            if (j < i) j = i;
+            while (j < e && (int64_t)matches[j].diff - (int64_t)matches[i].diff
+                                <= 2 * (int64_t)offset_tol)
+              ++j;
+            if (j - i > best_j - best_i) { best_i = i; best_j = j; }
+          }
+          int64_t t = matches[best_i + (best_j - best_i) / 2].diff;
+          const int64_t la = lens[a], lb = lens[b];
+          // overlap verification: in-cluster matched positions must span
+          // the claimed overlap window [max(0,t), min(la, t+lb)) in read-a
+          // coordinates — ends reached and no internal gap over max_gap.
+          // Interspersed-repeat interiors vote consistent offsets between
+          // distant loci; unverified, those cross-locus edges form
+          // exactly-summing phantom paths that make transitive reduction
+          // delete the TRUE local edges (see data/builder.py docstring).
+          cpos.clear();
           for (size_t i = s; i < e; ++i)
-            if (std::abs((int64_t)matches[i].diff - t) <= offset_tol) ++support;
+            if (std::llabs((int64_t)matches[i].diff - t) <= offset_tol)
+              cpos.push_back(matches[i].pos);
+          const int support = (int)cpos.size();
           if (support >= min_matches) {
-            const int64_t la = lens[a], lb = lens[b];
-            auto similarity = [&](int64_t ovl) {
-              double expected = 2.0 * (double)ovl / ((double)k * w);
-              double sim = support / std::max(1.0, expected);
-              return (float)std::min(1.0, sim);
-            };
-            if (t >= 0) {
-              if (t + lb <= la) {
+            std::sort(cpos.begin(), cpos.end());
+            const int64_t wa_lo = std::max<int64_t>(0, t);
+            const int64_t wa_hi = std::min<int64_t>(la, t + lb);
+            bool spanned = (int64_t)cpos.front() <= wa_lo + max_gap &&
+                           (int64_t)cpos.back() + k >= wa_hi - max_gap;
+            for (size_t i = 1; spanned && i < cpos.size(); ++i)
+              if ((int64_t)cpos[i] - (int64_t)cpos[i - 1] > max_gap)
+                spanned = false;
+            if (spanned) {
+              const int64_t ovl_w = wa_hi - wa_lo;
+              const float sim = (float)std::min(
+                  1.0, support / std::max(1.0, 2.0 * (double)ovl_w / (w + 1)));
+              if (t >= 0) {
+                if (t + lb <= la) {
 #pragma omp critical(contained)
-                res.contained[b] = 1;
-              } else if (la - t >= min_overlap) {
-                int64_t ovl = la - t;
-                int64_t u = 2 * (int64_t)a, v = 2 * (int64_t)b + orient;
-                per_thread[tid].push_back({u, v, t, ovl, similarity(ovl)});
-                per_thread[tid].push_back(
-                    {v ^ 1, u ^ 1, lb - ovl, ovl, similarity(ovl)});
-              }
-            } else {
-              int64_t t2 = -t;
-              if (t2 + la <= lb) {
+                  res.contained[b] = 1;
+                } else if (la - t >= min_overlap) {
+                  int64_t ovl = la - t;
+                  int64_t u = 2 * (int64_t)a, v = 2 * (int64_t)b + orient;
+                  per_thread[tid].push_back({u, v, t, ovl, sim});
+                  per_thread[tid].push_back({v ^ 1, u ^ 1, lb - ovl, ovl, sim});
+                }
+              } else {
+                int64_t t2 = -t;
+                if (t2 + la <= lb) {
 #pragma omp critical(contained)
-                res.contained[a] = 1;
-              } else if (lb - t2 >= min_overlap) {
-                int64_t ovl = lb - t2;
-                int64_t u = 2 * (int64_t)b + orient, v = 2 * (int64_t)a;
-                per_thread[tid].push_back({u, v, t2, ovl, similarity(ovl)});
-                per_thread[tid].push_back(
-                    {v ^ 1, u ^ 1, la - ovl, ovl, similarity(ovl)});
+                  res.contained[a] = 1;
+                } else if (lb - t2 >= min_overlap) {
+                  int64_t ovl = lb - t2;
+                  int64_t u = 2 * (int64_t)b + orient, v = 2 * (int64_t)a;
+                  per_thread[tid].push_back({u, v, t2, ovl, sim});
+                  per_thread[tid].push_back({v ^ 1, u ^ 1, la - ovl, ovl, sim});
+                }
               }
             }
           }
@@ -252,8 +318,11 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 }
 
 // Myers transitive reduction with fuzz (same as the Python spec).
+// Parallel: the adjacency is read-only and each overlap's keep/drop
+// decision is independent; a flag array + sequential collect keeps the
+// output order (and thus the emitted graph) deterministic.
 static OverlapVec transitive_reduction(
-    const OverlapVec& overlaps, int64_t fuzz) {
+    const OverlapVec& overlaps, int64_t fuzz, int threads) {
   std::unordered_map<int64_t, std::vector<const Overlap*>> adj;
   adj.reserve(overlaps.size());
   for (auto& o : overlaps) adj[o.u].push_back(&o);
@@ -264,11 +333,13 @@ static OverlapVec transitive_reduction(
                            ? x->prefix_len < y->prefix_len
                            : x->v < y->v;  // total order: deterministic ties
               });
-  OverlapVec keep;
-  keep.reserve(overlaps.size());
-  for (auto& o : overlaps) {
+  std::vector<char> drop(overlaps.size(), 0);
+#pragma omp parallel for schedule(dynamic, 256) num_threads(std::max(threads, 1))
+  for (size_t i = 0; i < overlaps.size(); ++i) {
+    const Overlap& o = overlaps[i];
     bool reduced = false;
-    for (const Overlap* mid : adj[o.u]) {
+    auto au = adj.find(o.u);
+    for (const Overlap* mid : au->second) {
       if (mid->v == o.v || mid->prefix_len >= o.prefix_len) continue;
       auto it = adj.find(mid->v);
       if (it == adj.end()) continue;
@@ -282,8 +353,12 @@ static OverlapVec transitive_reduction(
       }
       if (reduced) break;
     }
-    if (!reduced) keep.push_back(o);
+    drop[i] = reduced;
   }
+  OverlapVec keep;
+  keep.reserve(overlaps.size());
+  for (size_t i = 0; i < overlaps.size(); ++i)
+    if (!drop[i]) keep.push_back(overlaps[i]);
   return keep;
 }
 
@@ -369,7 +444,22 @@ extern "C" int gn_build_overlap_graph(const char* reads_path,
 #endif
   auto res = gn::find_overlaps(reads, k, w, min_overlap,
                                /*min_matches=*/4, /*offset_tol=*/128,
-                               /*occ_cap=*/256, std::max(threads, 1));
-  auto reduced = gn::transitive_reduction(res.overlaps, /*fuzz=*/500);
+                               /*occ_cap=*/256, /*max_gap=*/1000,
+                               std::max(threads, 1));
+  // Remove contained reads BEFORE transitive reduction (Raven's order):
+  // reducing first can delete an edge as "explained" by a path through a
+  // read that containment-removal then deletes, leaving spurious dead
+  // ends where the genome is perfectly covered. Also ~25x less reduction
+  // work at 30x coverage (most reads are contained).
+  {
+    gn::OverlapVec filtered;
+    filtered.reserve(res.overlaps.size());
+    for (auto& o : res.overlaps)
+      if (!res.contained[o.u / 2] && !res.contained[o.v / 2])
+        filtered.push_back(o);
+    res.overlaps.swap(filtered);
+  }
+  auto reduced = gn::transitive_reduction(res.overlaps, /*fuzz=*/500,
+                                          std::max(threads, 1));
   return gn::emit_graph(records, reduced, res.contained, csv_path);
 }

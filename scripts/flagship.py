@@ -45,31 +45,66 @@ def synth_genome(length: int, seed: int) -> str:
     """Random genome of exactly ``length`` bp with planted repeat structure.
 
     A uniform-random sequence is trivially assemblable (every overlap is
-    unique), so repeats are planted to create the tangles the GNN exists to
-    untangle: 8 segmental duplications of 30–150 kb (half copied exactly,
-    half at ~0.2% divergence so overlap similarity varies) and 2 exact
-    tandem arrays (3 copies of a 20–40 kb unit). Repeats longer than the
-    ~18 kb HiFi read length create true branch ambiguities.
+    unique), so sub-read-length repeats are planted to create the tangles
+    the GNN exists to untangle: interspersed repeat families (3–12 kb,
+    5 copies each, 0–0.5% divergence — Alu/LINE-like at HiFi scale) and
+    short-unit tandem arrays (2–5 kb units × 4–8 copies).
+
+    Repeats are deliberately kept SHORTER than the ~18 kb HiFi read
+    length. Copies of repeats ≫ read length make reads from different
+    loci mutually contained, so the overlap-graph builder collapses the
+    loci into one path (real OLC-assembler behavior) — the chain then
+    dead-ends at a repeat boundary whose only outgoing edge teleports to
+    the distant copy, and one such accepted walk poisons the DFS oracle's
+    ``largest_visited`` monotone-acceptance rule (``algorithms.py:160-167``
+    faithfully has the same property), silently mislabeling everything
+    behind the jump. Sub-read-length repeats are always spanned by reads,
+    so every local chain stays intact and the shared interiors produce
+    exactly the spurious cross-locus suffix-prefix edges the oracle
+    correctly labels negative.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 4, size=length, dtype=np.int8)
-    for i in range(8):
-        seg_len = int(rng.integers(30_000, 150_000))
-        s = int(rng.integers(0, length - seg_len))
-        d = int(rng.integers(0, length - seg_len))
-        seg = base[s : s + seg_len].copy()
-        if i % 2 == 1:  # diverged copy
-            m = rng.random(seg_len) < 0.002
-            seg[m] = (seg[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
-        base[d : d + seg_len] = seg
-    for _ in range(2):
-        unit_len = int(rng.integers(20_000, 40_000))
-        s = int(rng.integers(0, length - 3 * unit_len))
+
+    def diverged(seg, rate):
+        if rate <= 0:
+            return seg.copy()
+        m = rng.random(len(seg)) < rate
+        out = seg.copy()
+        out[m] = (out[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
+        return out
+
+    # interspersed repeat families: one family per ~2.5 Mb, each a 3-12 kb
+    # sequence planted at 5 loci (0-0.5% divergence per copy). Spanning
+    # reads keep every local chain intact while the shared interior
+    # produces the spurious cross-locus suffix-prefix edges (the tangles).
+    # Copy counts stay low enough that family k-mers (5 copies x ~32x
+    # coverage ~ 160 index occurrences) survive the builder's occ_cap=256
+    # repeat filter, as real interspersed repeats would.
+    n_families = max(2, length // 2_500_000)
+    for _ in range(n_families):
+        fam_len = int(rng.integers(3_000, 12_000))
+        s = int(rng.integers(0, length - fam_len))
+        fam = base[s : s + fam_len].copy()
+        for _ in range(4):  # 4 extra copies + the source locus
+            d = int(rng.integers(0, length - fam_len))
+            base[d : d + fam_len] = diverged(fam, float(rng.uniform(0, 0.005)))
+
+    # tandem arrays: one per ~8 Mb, each with its OWN 2-5 kb unit repeated
+    # 4-8 times. Interiors may collapse across phases (as real satellite
+    # arrays do in any OLC assembler) but the damage is bounded by the
+    # array length — units are never shared across arrays, so no
+    # long-range cross-links form.
+    for _ in range(max(1, length // 8_000_000)):
+        unit_len = int(rng.integers(2_000, 5_000))
+        n_copies = int(rng.integers(4, 9))
+        s = int(rng.integers(0, length - n_copies * unit_len))
         unit = base[s : s + unit_len].copy()
-        base[s + unit_len : s + 2 * unit_len] = unit
-        base[s + 2 * unit_len : s + 3 * unit_len] = unit
+        for c in range(1, n_copies):
+            lo = s + c * unit_len
+            base[lo : lo + unit_len] = diverged(unit, float(rng.uniform(0, 0.003)))
     return bytes(np.array([65, 67, 71, 84], dtype=np.uint8)[base]).decode()
 
 

@@ -154,3 +154,55 @@ def test_native_builder_deterministic(tmp_path):
         with open(csv, "rb") as f:
             outs.append(f.read())
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_repeat_phantom_paths_dont_delete_true_edges():
+    """Interspersed-repeat regression: two loci sharing a sub-read-length
+    repeat interior must NOT produce cross-locus overlaps, and transitive
+    reduction must keep every true consecutive edge.
+
+    Without overlap-span verification, repeat-interior minimizer votes
+    create cross-locus edges anchored to the same repeat coordinates;
+    the phantom A→other-locus→A paths they form have exactly-summing
+    prefix lengths, so Myers reduction deletes the TRUE local edges and
+    the oracle walk teleports (observed at 10 Mb: every missing true edge
+    was explained only by paths through the repeat's other copy).
+    """
+    from gnnome_tpu.data.builder import find_overlaps, transitive_reduction
+
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, size=60_000, dtype=np.int8)
+    # one 3 kb repeat planted at 10k and 40k (reads are 6 kb: sub-read)
+    genome[40_000:43_000] = genome[10_000:13_000]
+    gseq = "".join("ACGT"[c] for c in genome)
+
+    # forward-only tiling reads: 6 kb every 1.5 kb → 4x, always-true chain
+    starts = list(range(0, 54_000, 1_500))
+    reads = [gseq[s : s + 6_000] for s in starts]
+
+    overlaps, contained = find_overlaps(
+        reads, k=15, w=5, min_overlap=500, max_gap=500
+    )
+    assert not any(contained), "no read is genuinely contained in this tiling"
+    # cross-locus edges may exist ONLY as genuine repeat-boundary overlaps
+    # (one read's suffix entering the repeat = the other's prefix leaving
+    # it — real sequence identity, the tangles the GNN untangles). What
+    # must NOT exist: claimed overlaps extending beyond the 3 kb repeat,
+    # supported only by its interior.
+    saw_cross = False
+    for o in overlaps:
+        i, j = o.u // 2, o.v // 2
+        if abs(starts[i] - starts[j]) < 6_000:
+            continue  # same-locus: genuine
+        saw_cross = True
+        assert o.overlap_len <= 3_000 + 2 * 500, (
+            f"phantom overlap {i}({starts[i]})→{j}({starts[j]}) claims "
+            f"{o.overlap_len} bp, beyond the 3 kb repeat"
+        )
+    assert saw_cross, "expected genuine repeat-boundary tangle edges"
+    reduced = transitive_reduction(overlaps, 2 * len(reads))
+    kept = {(o.u, o.v) for o in reduced}
+    for i in range(len(reads) - 1):
+        assert (2 * i, 2 * (i + 1)) in kept, (
+            f"true consecutive edge {i}→{i + 1} deleted by reduction"
+        )
