@@ -270,16 +270,25 @@ def _verify_span(
 def transitive_reduction(
     overlaps: List[Overlap], n_nodes: int, fuzz: int = 500
 ) -> List[Overlap]:
-    """Myers' transitive edge reduction: drop a→c when a→b→c explains it."""
+    """Myers' transitive edge reduction: drop a→c when a→b→c explains it.
+
+    Decisions are symmetrized over strand-mirror pairs (a pair is dropped
+    when EITHER orientation is explained, as Raven marks both an edge and
+    its pair): the Myers mid-node traversal orders candidates by prefix
+    length, which is start-order on one strand but *end*-order on the
+    mirror strand — with variable read lengths the two orders differ, and
+    an asymmetric drop would break the ``u→v ⇒ v^1→u^1`` invariant the
+    oracle and decoder rely on (``algorithms.py:139``, ``inference.py:63``).
+    ``find_overlaps`` appends every overlap and its mirror adjacently, so
+    pair ``k`` is indices ``(2k, 2k+1)``.
+    """
     adj: Dict[int, List[Overlap]] = defaultdict(list)
     for o in overlaps:
         adj[o.u].append(o)
     for u in adj:
         adj[u].sort(key=lambda o: o.prefix_len)
 
-    keep = []
-    for o in overlaps:
-        reduced = False
+    def is_reduced(o: Overlap) -> bool:
         for mid in adj[o.u]:
             if mid.v == o.v or mid.prefix_len >= o.prefix_len:
                 continue
@@ -287,12 +296,17 @@ def transitive_reduction(
                 if far.v == o.v and abs(
                     mid.prefix_len + far.prefix_len - o.prefix_len
                 ) <= fuzz:
-                    reduced = True
-                    break
-            if reduced:
-                break
-        if not reduced:
+                    return True
+        return False
+
+    assert len(overlaps) % 2 == 0
+    keep = []
+    for i in range(0, len(overlaps), 2):
+        o, m = overlaps[i], overlaps[i + 1]
+        assert o.u == m.v ^ 1 and o.v == m.u ^ 1, "mirror pairs not adjacent"
+        if not (is_reduced(o) or is_reduced(m)):
             keep.append(o)
+            keep.append(m)
     return keep
 
 

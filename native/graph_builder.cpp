@@ -28,6 +28,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <map>
+#include <tuple>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -307,12 +308,22 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
   // Deterministic output: which thread produced an overlap depends on the
   // dynamic schedule, so the concatenation order above varies run to run.
   // A total-order sort makes the emitted graph (edge ids, transitive-
-  // reduction tie-breaks) identical across runs and thread counts.
+  // reduction tie-breaks) identical across runs and thread counts. The
+  // sort key is the strand-mirror pair's canonical member (the lexico-
+  // graphically smaller of {(u,v), (v^1,u^1)}) so each overlap stays
+  // ADJACENT to its mirror — transitive_reduction symmetrizes over
+  // adjacent (2k, 2k+1) pairs. Distinct pairs never share a canonical
+  // key (one overlap per oriented read pair; u/2 != v/2 rules out
+  // self-mirrors), so the order is total.
+  auto pair_key = [](const Overlap& o) {
+    int64_t mu = o.v ^ 1, mv = o.u ^ 1;  // the mirror's (u, v)
+    bool canon = (o.u != mu) ? (o.u < mu) : (o.v <= mv);
+    return std::tuple<int64_t, int64_t, int>(
+        canon ? o.u : mu, canon ? o.v : mv, canon ? 0 : 1);
+  };
   std::sort(res.overlaps.begin(), res.overlaps.end(),
-            [](const Overlap& x, const Overlap& y) {
-              if (x.u != y.u) return x.u < y.u;
-              if (x.v != y.v) return x.v < y.v;
-              return x.prefix_len < y.prefix_len;
+            [&](const Overlap& x, const Overlap& y) {
+              return pair_key(x) < pair_key(y);
             });
   return res;
 }
@@ -321,6 +332,15 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 // Parallel: the adjacency is read-only and each overlap's keep/drop
 // decision is independent; a flag array + sequential collect keeps the
 // output order (and thus the emitted graph) deterministic.
+//
+// Decisions are symmetrized over strand-mirror pairs (drop the pair when
+// EITHER orientation is explained, as Raven marks an edge and its pair
+// together): Myers' mid-node order is start-order on one strand but
+// END-order on the mirror, which differ for variable-length reads — an
+// asymmetric drop would break the u->v => v^1->u^1 invariant the oracle
+// and decoder rely on. find_overlaps pushes each overlap and its mirror
+// adjacently (and the containment filter keeps/drops both), so pair k is
+// indices (2k, 2k+1).
 static OverlapVec transitive_reduction(
     const OverlapVec& overlaps, int64_t fuzz, int threads) {
   std::unordered_map<int64_t, std::vector<const Overlap*>> adj;
@@ -357,8 +377,18 @@ static OverlapVec transitive_reduction(
   }
   OverlapVec keep;
   keep.reserve(overlaps.size());
-  for (size_t i = 0; i < overlaps.size(); ++i)
-    if (!drop[i]) keep.push_back(overlaps[i]);
+  for (size_t i = 0; i + 1 < overlaps.size(); i += 2) {
+    const Overlap& o = overlaps[i];
+    const Overlap& m = overlaps[i + 1];
+    if (o.u != (m.v ^ 1) || o.v != (m.u ^ 1)) {
+      std::fprintf(stderr, "[builder] mirror pairs not adjacent at %zu\n", i);
+      std::abort();
+    }
+    if (!drop[i] && !drop[i + 1]) {
+      keep.push_back(o);
+      keep.push_back(m);
+    }
+  }
   return keep;
 }
 

@@ -206,3 +206,53 @@ def test_repeat_phantom_paths_dont_delete_true_edges():
         assert (2 * i, 2 * (i + 1)) in kept, (
             f"true consecutive edge {i}→{i + 1} deleted by reduction"
         )
+
+
+def test_reduction_preserves_mirror_symmetry(tmp_path):
+    """Every emitted edge u→v must have its strand mirror v^1→u^1 (the
+    invariant the oracle's ``edges[(dst^1, src^1)]`` lookup and the
+    decoder's mate-masking rely on, ``algorithms.py:139``). Myers
+    reduction orders mid candidates by prefix length — start-order on one
+    strand, END-order on the mirror — so with variable-length reads an
+    unsymmetrized reduction drops one member of a pair (observed at
+    flagship scale as an oracle KeyError). Both builders must symmetrize."""
+    from gnnome_tpu.data import native_bridge
+    from gnnome_tpu.data.builder import (find_overlaps, parse_fasta,
+                                         transitive_reduction)
+    from gnnome_tpu.data.simulate import simulate_reads, write_fasta
+
+    rng = np.random.default_rng(7)
+    g = rng.choice(list("ACGT"), size=50_000)
+    g[35_000:38_000] = g[8_000:11_000]  # planted repeat
+    # variable read lengths: the trigger for start-order != end-order
+    lens = rng.integers(1_200, 3_000, size=260).astype(np.int64)
+    records = simulate_reads("".join(g), coverage=14.0, lengths=lens, seed=9)
+
+    reads = [s for _, s in records]
+    overlaps, contained = find_overlaps(reads, k=15, w=5, min_overlap=300)
+    overlaps = [o for o in overlaps
+                if not (contained[o.u // 2] or contained[o.v // 2])]
+    reduced = transitive_reduction(overlaps, 2 * len(reads))
+    kept = {(o.u, o.v) for o in reduced}
+    for u, v in kept:
+        assert (v ^ 1, u ^ 1) in kept, f"mirror of {u}->{v} missing (python)"
+
+    if native_bridge.available():
+        fasta = str(tmp_path / "r.fasta")
+        write_fasta(fasta, records)
+        csv = str(tmp_path / "n_graph_1.csv")
+        native_bridge.build_overlap_graph(fasta, csv, threads=4,
+                                          identity=0.99, k=15, w=5,
+                                          min_overlap=300)
+        edges = set()
+        with open(csv) as f:
+            for line in f:
+                a, b, typ, payload = line.rsplit(",", 3)
+                if typ != "1":
+                    continue
+                u = int(a.split()[0])
+                v = int(b.split()[0])
+                edges.add((u, v))
+        assert edges, "native builder emitted no edges"
+        for u, v in edges:
+            assert (v ^ 1, u ^ 1) in edges, f"mirror of {u}->{v} missing (native)"
