@@ -51,6 +51,14 @@ class CSR:
     inverse permutation; it makes the VJP of the sort a *gather* instead of
     the scatter XLA would otherwise emit. ``offsets[v]:offsets[v+1]``
     indexes the sorted edge range keyed on node ``v``.
+
+    The four optional band plans route this layout's gathers through the
+    windowed-VMEM Pallas kernel (``ops/banded.py``) instead of XLA's
+    random-row gather: ``expand_plan`` covers ``segment_ids`` (the sorted
+    segment-sum VJP expansion), ``key_plan`` the key endpoint in canonical
+    edge order (fused-op cotangent gathers and forward endpoint gathers),
+    ``order_plan``/``inv_plan`` the two permutation directions. ``None``
+    (or ``ok=False``) falls back to ``jnp.take``.
     """
 
     identity: bool = dataclasses.field(metadata=dict(static=True))
@@ -58,6 +66,10 @@ class CSR:
     inv_order: jax.Array  # int32[E_pad]
     offsets: jax.Array  # int32[N_pad + 1]
     segment_ids: jax.Array  # int32[E_pad] keyed endpoint in sorted order
+    expand_plan: object = None  # Optional[ops.banded.BandPlan]
+    key_plan: object = None
+    order_plan: object = None
+    inv_plan: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -93,24 +105,47 @@ class AssemblyGraph:
 
 
 def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
-                     order: np.ndarray, identity: bool) -> CSR:
+                     order: np.ndarray, identity: bool,
+                     key_canonical: np.ndarray = None) -> CSR:
+    from gnnome_tpu.ops.banded import plan_windows
+
     n_real = int((key_sorted < PAD_SEGMENT).sum())
     offsets = np.searchsorted(
         key_sorted[:n_real], np.arange(n_pad + 1)
     ).astype(np.int32)
+    # plans are computed on PAD-clamped ids (pad -> 0) so a single plan is
+    # exact for BOTH gather conventions in use: masked gathers that pass
+    # PAD-marked ids (uncovered -> zero row, the masked contract) and
+    # unmasked gathers that pass the zeros-padded/clamped arrays (row 0 is
+    # then inside a window, matching jnp.take bit-for-bit)
+    def _clamped_plan(ids):
+        return plan_windows(np.where(ids < n_pad, ids, 0), n_pad)
+
+    expand_plan = _clamped_plan(key_sorted)
+    key_plan = (
+        expand_plan if key_canonical is None
+        else _clamped_plan(key_canonical)
+    )
     if identity:
         # order arrays are never read on the identity fast path; keep them
         # empty so they cost nothing to transfer/store
         order = inv_order = np.zeros(0, dtype=np.int32)
+        order_plan = inv_plan = None
     else:
         inv_order = np.empty_like(order)
         inv_order[order] = np.arange(len(order), dtype=np.int32)
+        order_plan = plan_windows(order, e_pad)
+        inv_plan = plan_windows(inv_order, e_pad)
     return CSR(
         identity=identity,
         order=jnp.asarray(order),
         inv_order=jnp.asarray(inv_order),
         offsets=jnp.asarray(offsets),
         segment_ids=jnp.asarray(key_sorted),
+        expand_plan=expand_plan,
+        key_plan=key_plan,
+        order_plan=order_plan,
+        inv_plan=inv_plan,
     )
 
 
@@ -154,6 +189,7 @@ def build_graph(
     src_order = np.argsort(src_key, kind="stable").astype(np.int32)
     by_src = _csr_from_sorted(
         src_key[src_order], n_pad, e_pad, order=src_order, identity=False,
+        key_canonical=src_key,
     )
 
     node_mask = np.arange(n_pad) < n_nodes

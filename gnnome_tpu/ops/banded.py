@@ -1,0 +1,289 @@
+"""Banded row-gather: ``table[ids]`` as windowed VMEM one-hot matmuls.
+
+The round-1 profile (PERFORMANCE.md "1M-edge profile") showed ~20 XLA
+gather instances per layer-step at ~12.5 ms each — random 512-byte-row HBM
+reads running at ~45 GB/s against a 681 GB/s stream ceiling. Every one of
+those gathers has *banded* index structure on BFS/locality-ordered
+assembly graphs (the reference's graphs are near-linear read chains,
+``graph_parser.py``): the ids of 128 consecutive edges fall into at most
+a couple of narrow row ranges (the local chain neighborhood, plus at most
+a repeat-tangle cluster).
+
+This module exploits that: per 128-edge subrow, DMA *two* fixed-width row
+windows of the table HBM→VMEM (contiguous streams, full bandwidth) and
+select rows on the MXU with a one-hot matmul — the same dense-hardware
+answer as the segment-sum kernel (``spmm_pallas.py``), applied to the
+gather side. Window placements are precomputed on the host per ids array
+(`plan_windows`, cut each subrow's sorted ids at the largest gap); graphs
+whose ids don't fit two windows anywhere fall back to ``jnp.take`` via a
+static flag, so the kernel never silently drops a row.
+
+Semantics: ``banded_take(table, ids, plan) == jnp.take(table, ids, 0)``
+for every id the plan covers (the planner guarantees all ids < n_rows);
+ids ≥ n_rows (e.g. ``PAD_SEGMENT`` on padded edges) produce zero rows —
+exactly the ``where(valid, take(safe), 0)`` contract the segment VJPs use.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUBROWS_PER_CHUNK = 8
+CHUNK = SUBROWS_PER_CHUNK * LANE  # 1024 ids per grid step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandPlan:
+    """Per-subrow dual-window placement for one ids array.
+
+    ``w0``: int32[S, 2] window starts (8-row aligned, ``w0[:,1] >=
+    w0[:,0] + wr`` so the windows never overlap — a doubled one-hot match
+    would double-count a row). ``wr``: static window width (rows).
+    ``ok``: static; False means the planner could not cover every id and
+    callers must use ``jnp.take``.
+    """
+
+    ok: bool = dataclasses.field(metadata=dict(static=True))
+    wr: int = dataclasses.field(metadata=dict(static=True))
+    w0: jax.Array  # int32[S, 2]
+
+
+def _fallback_plan() -> BandPlan:
+    return BandPlan(ok=False, wr=0, w0=jnp.zeros((0, 2), jnp.int32))
+
+
+def plan_windows(
+    ids: np.ndarray, n_rows: int, widths=(128, 256, 512)
+) -> BandPlan:
+    """Host-side planner: place two ``wr``-wide windows per 128-id subrow.
+
+    Each subrow's valid ids (< n_rows) are split at the largest gap; the
+    two resulting clusters get one window each (merged into adjacent
+    disjoint windows when one suffices). The smallest width in ``widths``
+    that covers every subrow wins; if none does, the plan is marked
+    ``ok=False`` and callers fall back to ``jnp.take``.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    assert ids.ndim == 1 and ids.shape[0] % LANE == 0
+    s = ids.shape[0] // LANE
+    ids2 = ids.reshape(s, LANE)
+    valid = (ids2 >= 0) & (ids2 < n_rows)
+    # sort each subrow with invalid ids pushed to +inf
+    big = np.int64(1) << 40
+    rows = np.sort(np.where(valid, ids2, big), axis=1)
+    nval = valid.sum(axis=1)
+    any_valid = nval > 0
+    # largest internal gap between consecutive valid ids
+    gaps = np.diff(rows, axis=1)
+    gaps[rows[:, 1:] >= big] = -1  # ignore gaps into the invalid tail
+    cut = np.argmax(gaps, axis=1)  # cluster A = rows[: cut+1], B = rows[cut+1:]
+    idx = np.arange(s)
+    lo_a = np.where(any_valid, rows[:, 0], 0)
+    lo_b = rows[idx, np.minimum(cut + 1, LANE - 1)]
+    single = (nval <= 1) | (gaps[idx, cut] <= 0)
+
+    for wr in widths:
+        if 2 * wr > n_rows:
+            continue
+        # A anchored at its cluster start; B at the second cluster (or
+        # right after A for single-cluster subrows, covering a contiguous
+        # 2·wr span). Clamps keep both windows in-bounds AND disjoint
+        # (w0b >= w0a + wr); the coverage check below is the safety net
+        # for any subrow the heuristic placement cannot cover.
+        w0a = np.clip((lo_a // 8) * 8, 0, n_rows - 2 * wr)
+        lo_b_eff = np.where(single, w0a + wr, lo_b)
+        w0b = np.clip((lo_b_eff // 8) * 8, w0a + wr, n_rows - wr)
+        cov_a = (ids2 >= w0a[:, None]) & (ids2 < (w0a + wr)[:, None])
+        cov_b = (ids2 >= w0b[:, None]) & (ids2 < (w0b + wr)[:, None])
+        if bool(np.all(cov_a | cov_b | ~valid)):
+            w0 = np.stack([w0a, w0b], axis=1).astype(np.int32)
+            return BandPlan(ok=True, wr=int(wr), w0=jnp.asarray(w0))
+    return _fallback_plan()
+
+
+def _take_kernel(
+    w0_ref,  # SMEM int32[S, 2] (scalar prefetch)
+    ids_ref,  # VMEM int32[SUBROWS, LANE] block
+    table_hbm,  # ANY [R, D]
+    out_ref,  # VMEM [CHUNK, D] block
+    win_buf,  # VMEM [2, SUBROWS, 2, wr, D] scratch
+    sems,  # DMA sems [2, SUBROWS, 2]
+    *,
+    wr: int,
+    out_dim: int,
+    nchunks: int,
+    subrows: int,
+):
+    c = pl.program_id(0)
+
+    def window_dma(slot, chunk, r, wi):
+        start = pl.multiple_of(w0_ref[chunk * subrows + r, wi], 8)
+        return pltpu.make_async_copy(
+            table_hbm.at[pl.ds(start, wr), :],
+            win_buf.at[slot, r, wi],
+            sems.at[slot, r, wi],
+        )
+
+    def start_chunk(slot, chunk):
+        for r in range(subrows):
+            for wi in range(2):
+                window_dma(slot, chunk, r, wi).start()
+
+    @pl.when(c == 0)
+    def _():
+        start_chunk(0, 0)
+
+    @pl.when(c + 1 < nchunks)
+    def _():
+        start_chunk((c + 1) % 2, c + 1)
+
+    slot = c % 2
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+    for r in range(subrows):
+        for wi in range(2):
+            window_dma(slot, c, r, wi).wait()
+        ids_row = ids_ref[r : r + 1, :]  # [1, LANE]
+        acc = jnp.zeros((LANE, out_dim), jnp.float32)
+        # one selector matmul per window; the planner keeps the windows
+        # disjoint, so each id matches at most one one-hot row overall
+        # (an overlap would double-count the row).
+        for wi in range(2):
+            base = w0_ref[c * subrows + r, wi]
+            onehot = (row_iota + base == ids_row)  # [wr, LANE]
+            acc = acc + _select_matmul(
+                onehot.astype(jnp.bfloat16), win_buf[slot, r, wi]
+            )
+        out_ref[r * LANE : (r + 1) * LANE, :] = acc.astype(out_ref.dtype)
+
+
+def _select_matmul(onehot, window):
+    """rows[LANE, D] = onehotᵀ @ window in f32, exact for a 0/1 selector.
+
+    bf16 windows: a single MXU pass (1.0·x is exact). f32 windows: 3-term
+    bf16 split, exact to ~2⁻⁴⁸ (each partial product is exact; only the
+    final f32 accumulation of hi+mid+lo can round the last bit).
+    """
+    dims = (((0,), (0,)), ((), ()))
+    if window.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            onehot, window, dims, preferred_element_type=jnp.float32
+        )
+    hi = window.astype(jnp.bfloat16)
+    rem = window - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.zeros((LANE, window.shape[-1]), jnp.float32)
+    for part in (hi, mid, lo):
+        acc = acc + jax.lax.dot_general(
+            onehot, part, dims, preferred_element_type=jnp.float32
+        )
+    return acc
+
+
+def banded_take_pallas(
+    table: jax.Array,  # [R, D]
+    ids: jax.Array,  # int32[E] (E % 1024 == 0)
+    plan: BandPlan,
+    interpret: bool = False,
+) -> jax.Array:
+    """``table[ids]`` with zero rows for out-of-plan ids (see module doc).
+
+    Not differentiable on purpose: every call site lives inside a
+    ``custom_vjp`` whose backward is itself scatter-free.
+    """
+    r_rows, d = table.shape
+    e = ids.shape[0]
+    assert e % LANE == 0, f"ids length {e} not a multiple of {LANE}"
+    assert plan.ok and plan.w0.shape[0] * LANE == e
+    if d % LANE != 0:
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        out = banded_take_pallas(
+            jnp.pad(table, ((0, 0), (0, d_pad - d))), ids, plan, interpret
+        )
+        return out[:, :d]
+    # scratch = 2 slots x subrows x 2 windows x wr x d; cap it at ~4.5 MB
+    # VMEM by shrinking the chunk (more grid steps, same plan)
+    per_subrow = 2 * 2 * plan.wr * d * table.dtype.itemsize
+    subrows = max(1, min(SUBROWS_PER_CHUNK, (4_500_000 // per_subrow) or 1))
+    while (e // LANE) % subrows != 0:
+        subrows -= 1
+    chunk = subrows * LANE
+    nchunks = e // chunk
+    ids2 = ids.reshape(e // LANE, LANE)
+
+    kernel = functools.partial(
+        _take_kernel, wr=plan.wr, out_dim=d, nchunks=nchunks, subrows=subrows
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (subrows, LANE), lambda c, *_: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, d), lambda c, *_: (c, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, subrows, 2, plan.wr, d), table.dtype),
+            pltpu.SemaphoreType.DMA((2, subrows, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, d), table.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # window DMAs dominate; flops = the one-hot selector matmuls
+            flops=2 * e * 2 * plan.wr * d,
+            bytes_accessed=(e // LANE) * 2 * plan.wr * d * table.dtype.itemsize
+            + e * 4 + e * d * table.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(plan.w0, ids2, table)
+
+
+def take_rows(
+    table: jax.Array,
+    ids: jax.Array,
+    plan: Optional[BandPlan],
+    backend: Optional[str] = None,
+    masked: bool = False,
+) -> jax.Array:
+    """``jnp.take(table, ids, 0)`` routed through the banded kernel when a
+    covering plan exists and the backend is pallas.
+
+    ``masked=True``: out-of-range ids (``PAD_SEGMENT``) yield zero rows —
+    free on the banded path (no one-hot match), explicit select on the
+    fallback. ``masked=False``: the caller guarantees all ids are valid.
+    """
+    from gnnome_tpu.ops.segment import default_backend
+
+    backend = backend or default_backend()
+    if (
+        plan is not None
+        and plan.ok
+        and backend in ("pallas", "pallas_interpret")
+        and ids.shape[0] % LANE == 0
+    ):
+        return banded_take_pallas(
+            table, ids, plan, interpret=(backend == "pallas_interpret")
+        )
+    if masked:
+        valid = ids < table.shape[0]
+        safe = jnp.where(valid, ids, 0)
+        return jnp.where(valid[:, None], jnp.take(table, safe, axis=0), 0)
+    return jnp.take(table, ids, axis=0)

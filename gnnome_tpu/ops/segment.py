@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from gnnome_tpu.core.graph import CSR
+from gnnome_tpu.ops.banded import take_rows
 
 
 @functools.cache
@@ -43,18 +44,31 @@ def default_backend() -> str:
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def permute_rows(x: jax.Array, perm: jax.Array, inv_perm: jax.Array) -> jax.Array:
-    """``x[perm]`` whose VJP is ``g[inv_perm]`` (a gather, not a scatter)."""
-    return jnp.take(x, perm, axis=0)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def permute_rows(
+    x: jax.Array,
+    perm: jax.Array,
+    inv_perm: jax.Array,
+    perm_plan=None,
+    inv_plan=None,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """``x[perm]`` whose VJP is ``g[inv_perm]`` (a gather, not a scatter).
+
+    Both directions route through the banded windowed-VMEM gather kernel
+    (``ops/banded.py``) when the CSR carries covering plans (its
+    ``order_plan``/``inv_plan``); ``None`` falls back to ``jnp.take``.
+    """
+    return take_rows(x, perm, perm_plan, backend)
 
 
-def _permute_fwd(x, perm, inv_perm):
-    return jnp.take(x, perm, axis=0), inv_perm
+def _permute_fwd(x, perm, inv_perm, perm_plan, inv_plan, backend):
+    return take_rows(x, perm, perm_plan, backend), (inv_perm, inv_plan)
 
 
-def _permute_bwd(inv_perm, g):
-    return jnp.take(g, inv_perm, axis=0), None, None
+def _permute_bwd(backend, res, g):
+    inv_perm, inv_plan = res
+    return take_rows(g, inv_perm, inv_plan, backend), None, None, None, None
 
 
 permute_rows.defvjp(_permute_fwd, _permute_bwd)
@@ -79,8 +93,8 @@ def _sorted_segment_sum_raw(
         from gnnome_tpu.ops.spmm_pallas import sorted_segment_sum_pallas
 
         return sorted_segment_sum_pallas(
-            data_sorted, csr.segment_ids, csr.offsets, num_segments,
-            interpret=(backend == "pallas_interpret"),
+            data_sorted, csr.segment_ids, csr.offsets, csr.expand_plan,
+            num_segments, interpret=(backend == "pallas_interpret"),
         )
     raise ValueError(f"unknown segment backend: {backend!r}")
 
@@ -101,7 +115,10 @@ def segment_sum_csr(
     if csr.identity:
         data_sorted = edge_data  # canonical order IS this layout: no permute
     else:
-        data_sorted = permute_rows(edge_data, csr.order, csr.inv_order)
+        data_sorted = permute_rows(
+            edge_data, csr.order, csr.inv_order,
+            csr.order_plan, csr.inv_plan, backend,
+        )
     return _sorted_segment_sum_raw(data_sorted, csr, num_segments, backend)
 
 
@@ -125,13 +142,18 @@ def gather_by_endpoint(
     w.r.t. ``values`` is then exactly a sorted segment-sum over ``csr_t``
     — executed by the same Pallas kernel as the forward aggregations,
     instead of an XLA scatter-add.
+
+    When ``csr_t`` carries a ``key_plan`` (built by ``build_graph`` on the
+    PAD-clamped canonical key array — exactly these call sites' ``index``),
+    the forward gather runs the banded windowed-VMEM kernel; CSRs built
+    elsewhere default to ``key_plan=None`` and use ``jnp.take``.
     """
-    return jnp.take(values, index, axis=0)
+    return take_rows(values, index, csr_t.key_plan, backend)
 
 
 def _gather_fwd(values, index, csr_t, num_rows, backend):
     proto = jnp.zeros((0,), values.dtype)
-    return jnp.take(values, index, axis=0), (csr_t, proto)
+    return take_rows(values, index, csr_t.key_plan, backend), (csr_t, proto)
 
 
 def _gather_bwd(num_rows, backend, res, g):
@@ -171,8 +193,10 @@ def _fused_forward(e_pre, vals, key, csr, num_segments, backend):
         if csr.identity:
             e_s, v_s = e_pre, vals
         else:
-            e_s = permute_rows(e_pre, csr.order, csr.inv_order)
-            v_s = permute_rows(vals, csr.order, csr.inv_order)
+            e_s = permute_rows(e_pre, csr.order, csr.inv_order,
+                               csr.order_plan, csr.inv_plan, backend)
+            v_s = permute_rows(vals, csr.order, csr.inv_order,
+                               csr.order_plan, csr.inv_plan, backend)
         return fused_sigma_aggregate_pallas(
             e_s, v_s, csr.segment_ids, csr.offsets, num_segments,
             interpret=(backend == "pallas_interpret"),
@@ -184,18 +208,19 @@ def _fused_forward(e_pre, vals, key, csr, num_segments, backend):
 
 def _fused_fwd(e_pre, vals, key, csr, num_segments, backend):
     out = _fused_forward(e_pre, vals, key, csr, num_segments, backend)
-    return out, (e_pre, vals, key)
+    return out, (e_pre, vals, key, csr.key_plan)
 
 
 def _fused_bwd(num_segments, backend, res, g):
-    e_pre, vals, key = res
+    e_pre, vals, key, key_plan = res
     d = e_pre.shape[-1]
     valid = key < num_segments
-    safe = jnp.where(valid, key, 0)
-    # gather the cotangent in the compute dtype (see spmm_pallas._bwd)
-    gc = g.astype(e_pre.dtype)
-    g1 = jnp.take(gc[:, :d], safe, axis=0).astype(jnp.float32)
-    g2 = jnp.take(gc[:, d:], safe, axis=0).astype(jnp.float32)
+    # gather the cotangent in the compute dtype (see spmm_pallas._bwd);
+    # one wide masked row-gather (banded kernel when planned) — PAD-keyed
+    # rows come back zero on both paths
+    gc = take_rows(g.astype(e_pre.dtype), key, key_plan, backend, masked=True)
+    g1 = gc[:, :d].astype(jnp.float32)
+    g2 = gc[:, d:].astype(jnp.float32)
     sig = jax.nn.sigmoid(e_pre.astype(jnp.float32))
     dsig = sig * (1.0 - sig)
     grad_e = (g1 * vals.astype(jnp.float32) + g2) * dsig
@@ -314,21 +339,21 @@ def _fused_gate_fwd(gate_raw, e_in, vals, affine, key, csr, num_segments, backen
                                       num_segments, backend)
     # e_new is NOT saved — recomputed in bwd from (gate_raw, e_in, affine),
     # trading a cheap elementwise pass for 0.5GB of residuals at 1M edges
-    return (sums, e_new), (gate_raw, e_in, vals, affine, key)
+    return (sums, e_new), (gate_raw, e_in, vals, affine, key, csr.key_plan)
 
 
 def _fused_gate_bwd(num_segments, backend, res, cot):
-    gate_raw, e_in, vals, affine, key = res
+    gate_raw, e_in, vals, affine, key, key_plan = res
     g_sums, g_enew = cot
     d = gate_raw.shape[-1]
     valid = key < num_segments
-    safe = jnp.where(valid, key, 0)
     # gather the cotangents in the compute dtype: f32 gather outputs were
-    # ~1GB temps at 1M edges (OOM) and the top per-op cost in the profile
-    cdt = gate_raw.dtype
-    gc = g_sums.astype(cdt)
-    g1 = jnp.where(valid[:, None], jnp.take(gc[:, :d], safe, axis=0), 0).astype(jnp.float32)
-    g2 = jnp.where(valid[:, None], jnp.take(gc[:, d:], safe, axis=0), 0).astype(jnp.float32)
+    # ~1GB temps at 1M edges (OOM) and the top per-op cost in the profile.
+    # One wide masked row-gather (banded kernel when planned); PAD rows zero.
+    gc = take_rows(g_sums.astype(gate_raw.dtype), key, key_plan, backend,
+                   masked=True)
+    g1 = gc[:, :d].astype(jnp.float32)
+    g2 = gc[:, d:].astype(jnp.float32)
 
     graw = gate_raw.astype(jnp.float32)
     pre = graw * affine[0] + affine[1]

@@ -183,12 +183,13 @@ def _forward(
     )(chunk_lo, chunk_hi, data_sorted, ids_2d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def sorted_segment_sum_pallas(
     data_sorted: jax.Array,
     segment_ids_sorted: jax.Array,
     offsets: jax.Array,
-    num_segments: int,
+    expand_plan=None,
+    num_segments: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Segment-sum of CSR-sorted edge data into ``num_segments`` node rows.
@@ -196,15 +197,18 @@ def sorted_segment_sum_pallas(
     ``data_sorted``: f32[E_pad, D] in CSR order; ``segment_ids_sorted``:
     int32[E_pad] non-decreasing (padding = 2^30); ``offsets``:
     int32[num_segments + 1] CSR row pointers. E_pad must be a multiple of
-    1024 and num_segments a multiple of 128.
+    1024 and num_segments a multiple of 128. ``expand_plan`` (a
+    ``BandPlan`` over the PAD-clamped segment ids, see ``CSR.expand_plan``)
+    routes the backward's cotangent expansion gather through the banded
+    windowed-VMEM kernel.
     """
     return _forward(data_sorted, segment_ids_sorted, offsets, num_segments, interpret)
 
 
-def _fwd(data_sorted, segment_ids_sorted, offsets, num_segments, interpret):
+def _fwd(data_sorted, segment_ids_sorted, offsets, expand_plan, num_segments, interpret):
     out = _forward(data_sorted, segment_ids_sorted, offsets, num_segments, interpret)
     proto = jnp.zeros((0,), data_sorted.dtype)
-    return out, (segment_ids_sorted, proto)
+    return out, (segment_ids_sorted, expand_plan, proto)
 
 
 def _bwd(num_segments, interpret, res, g):
@@ -212,12 +216,13 @@ def _bwd(num_segments, interpret, res, g):
     # (id == 2^30) receive zero. The cotangent is cast to the primal dtype
     # BEFORE the gather: at 1M edges the f32 gather outputs were the single
     # largest cost class in the profile (12.5ms each; bf16 halves them).
-    segment_ids_sorted, proto = res
-    valid = segment_ids_sorted < num_segments
-    safe_ids = jnp.where(valid, segment_ids_sorted, 0)
-    grad = jnp.take(g.astype(proto.dtype), safe_ids, axis=0)
-    grad = jnp.where(valid[:, None], grad, 0).astype(proto.dtype)
-    return grad, None, None
+    from gnnome_tpu.ops.banded import take_rows
+
+    segment_ids_sorted, expand_plan, proto = res
+    backend = "pallas_interpret" if interpret else "pallas"
+    grad = take_rows(g.astype(proto.dtype), segment_ids_sorted, expand_plan,
+                     backend, masked=True)
+    return grad.astype(proto.dtype), None, None, None
 
 
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)
