@@ -70,12 +70,13 @@ def main() -> None:
     remat = os.environ.get("BENCH_REMAT", "unroll_group")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", 10))
-    # Best measured defaults (PERFORMANCE.md): wide-row endpoint gathers
-    # win at scale; at 1M edges their [E,512] rows only fit with
-    # remat_group=2 (wide g2 228k > narrow g4 222k edges/s; at 500k wide
-    # g4 is +17.7%). Overridable via BENCH_WIDE={0,1,src} / BENCH_GROUP.
+    # Best measured defaults (PERFORMANCE.md, round 2): with the banded
+    # gather kernel, NARROW gathers win at every scale (1M: narrow g2
+    # 438k / g4 435k vs wide g2 404k edges/s/chip); wide rows also crash
+    # the AOT compile at g4. Overridable via BENCH_WIDE={0,1,src} /
+    # BENCH_GROUP.
     wide_env = os.environ.get("BENCH_WIDE", "auto")
-    wide = {"0": False, "1": True, "auto": True}.get(wide_env, wide_env)
+    wide = {"0": False, "1": True, "auto": False}.get(wide_env, wide_env)
     default_group = 2 if (wide and n_edges > 600_000) else 4
     remat_group = int(os.environ.get("BENCH_GROUP", default_group))
 

@@ -147,12 +147,17 @@ def find_overlaps(
     min_matches: int = 4,
     offset_tolerance: int = 128,
     max_gap: int = 1000,
-) -> Tuple[List[Overlap], List[bool]]:
+    identity: float = 0.0,
+    trim_min_cov: int = 0,
+    return_trims: bool = False,
+):
     """All suffix→prefix overlaps between oriented reads + containment flags.
 
-    Returns overlaps on *node* ids (2i / 2i+1) and a per-read contained
-    flag (contained reads are dropped before graph emission, mirroring
-    Raven — cf. the note at ``graph_parser.py:126``).
+    Returns ``(overlaps, contained)`` — overlaps on *node* ids (2i / 2i+1)
+    and a per-read contained flag (contained reads are dropped before graph
+    emission, mirroring Raven — cf. the note at ``graph_parser.py:126``).
+    With ``return_trims=True`` also returns per-read trims ``(t0, t1)``
+    (``None`` = read dropped by pile trimming).
 
     Every candidate is *verified*: the in-cluster matched minimizers must
     span the full claimed overlap window (ends within ``max_gap``, no
@@ -166,7 +171,23 @@ def find_overlaps(
     explained only by paths through the repeat's other copy).  Alignment-
     based assemblers (Raven, ``graph_dataset.py:118-122``) get this for
     free from alignment extension; minimizer-chain span is the equivalent
-    check, and its coverage fraction doubles as the similarity estimate.
+    check.
+
+    Noisy-read support (the role of Raven's ``--identity`` flag,
+    ``graph_dataset.py:120``):
+
+      * ``identity > 0`` gates every overlap on a k-mer identity estimate:
+        the fraction of read-a minimizers inside the overlap window that
+        found an offset-consistent match in b is ≈ I^k for pairwise
+        alignment identity I (a k-mer match needs all k columns to agree),
+        so ``I_est = match_frac ** (1/k)``.  Overlaps with ``I_est <
+        identity`` are dropped, and ``I_est`` is emitted as the edge
+        similarity (Raven's similarity semantics).
+      * ``trim_min_cov > 0`` enables pile trimming (Raven's pile-o-gram):
+        each read is trimmed to its longest region covered by ≥
+        ``trim_min_cov`` span-verified overlap windows; overlap offsets,
+        lengths, and containment are then re-derived in trimmed
+        coordinates.  Reads with no such region are dropped.
     """
     n_reads = len(reads)
     read_lens = [len(r) for r in reads]
@@ -177,6 +198,8 @@ def find_overlaps(
         mins.append(ms)
         for h, pos, strand in ms:
             index[h].append((rid, pos, strand))
+    # per-read sorted minimizer positions (identity-estimate denominator)
+    mins_pos = [np.asarray([p for _, p, _ in ms], dtype=np.int64) for ms in mins]
 
     # candidate pairs → oriented offset votes
     votes: Dict[Tuple[int, int, int], List[Tuple[int, int]]] = defaultdict(list)
@@ -192,9 +215,11 @@ def find_overlaps(
                     diff = pos - (read_lens[oid] - k - opos)
                 votes[(rid, oid, orient)].append((diff, pos))
 
-    overlaps: List[Overlap] = []
-    contained = [False] * n_reads
-
+    # pass 1: cluster votes, span-verify, estimate identity; collect piles.
+    # Classification (overlap vs containment) waits for pass 2 — it
+    # depends on the trims, which depend on every candidate's pile.
+    candidates: List[Tuple[int, int, int, int, float]] = []  # (a,b,orient,t,sim)
+    piles: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
     for (a, b, orient), pairs in votes.items():
         if len(pairs) < min_matches:
             continue
@@ -222,33 +247,115 @@ def find_overlaps(
         if not spanned:
             continue
         ovl = wa_hi - wa_lo
-        sim = min(1.0, support / max(1.0, 2.0 * ovl / (w + 1)))
-        # orientation of b relative to a-forward
-        ob = orient
-        # t = offset of oriented-b start within a-forward coordinates
-        if t >= 0:
-            if t + lb <= la:
+        if identity > 0:
+            apos = mins_pos[a]
+            denom = int(np.searchsorted(apos, wa_hi) - np.searchsorted(apos, wa_lo))
+            matched = int(np.unique(arr[in_cluster, 1]).size)
+            ident_est = min(1.0, matched / max(denom, 1)) ** (1.0 / k)
+            if ident_est < identity:
+                continue
+            sim = ident_est
+        else:
+            sim = min(1.0, support / max(1.0, 2.0 * ovl / (w + 1)))
+        if trim_min_cov > 0:
+            piles[a].append((wa_lo, wa_hi))
+            wb_lo, wb_hi = max(0, -t), min(lb, la - t)  # oriented-b coords
+            if orient == 1:
+                wb_lo, wb_hi = lb - wb_hi, lb - wb_lo
+            piles[b].append((wb_lo, wb_hi))
+        candidates.append((a, b, orient, t, sim))
+
+    if trim_min_cov > 0:
+        trims = _pile_trims(piles, read_lens, trim_min_cov, min_overlap)
+    else:
+        trims = [(0, ln) for ln in read_lens]
+
+    # pass 2: classify candidates in trimmed coordinates
+    overlaps: List[Overlap] = []
+    contained = [False] * n_reads
+    for r in range(n_reads):
+        if trims[r] is None:
+            contained[r] = True  # dropped by trimming
+
+    for a, b, orient, t, sim in candidates:
+        if trims[a] is None or trims[b] is None:
+            continue
+        la, lb = read_lens[a], read_lens[b]
+        ta0, ta1 = trims[a]
+        tb0, tb1 = trims[b]
+        # oriented-b trim window (reverse-complement flips intervals)
+        ob0, ob1 = (tb0, tb1) if orient == 0 else (lb - tb1, lb - tb0)
+        t2 = (t + ob0) - ta0  # trimmed-oriented-b start in trimmed-a coords
+        la2, lb2 = ta1 - ta0, ob1 - ob0
+        wa_lo, wa_hi = max(0, t2), min(la2, t2 + lb2)
+        ovl = wa_hi - wa_lo
+        if ovl <= 0:
+            continue
+        if t2 >= 0:
+            if t2 + lb2 <= la2:
                 contained[b] = True
                 continue
             if ovl < min_overlap:
                 continue
-            # a's suffix → b's prefix: edge 2a → 2b+ob, mirror (2b+ob)^1 → 2a^1
-            u, v = 2 * a, 2 * b + ob
-            overlaps.append(Overlap(u, v, t, ovl, sim))
-            overlaps.append(Overlap(v ^ 1, u ^ 1, lb - ovl, ovl, sim))
+            # a's suffix → b's prefix: edge 2a → 2b+orient, mirror
+            u, v = 2 * a, 2 * b + orient
+            overlaps.append(Overlap(u, v, t2, ovl, sim))
+            overlaps.append(Overlap(v ^ 1, u ^ 1, lb2 - ovl, ovl, sim))
         else:
-            t2 = -t
-            if t2 + la <= lb:
+            t3 = -t2
+            if t3 + la2 <= lb2:
                 contained[a] = True
                 continue
             if ovl < min_overlap:
                 continue
             # oriented-b's suffix → a's prefix
-            u, v = 2 * b + ob, 2 * a
-            overlaps.append(Overlap(u, v, t2, ovl, sim))
-            overlaps.append(Overlap(v ^ 1, u ^ 1, la - ovl, ovl, sim))
+            u, v = 2 * b + orient, 2 * a
+            overlaps.append(Overlap(u, v, t3, ovl, sim))
+            overlaps.append(Overlap(v ^ 1, u ^ 1, la2 - ovl, ovl, sim))
 
+    if return_trims:
+        return overlaps, contained, trims
     return overlaps, contained
+
+
+def _pile_trims(
+    piles: Dict[int, List[Tuple[int, int]]],
+    read_lens: List[int],
+    min_cov: int,
+    min_len: int,
+) -> List[Optional[Tuple[int, int]]]:
+    """Longest per-read region covered by ≥ ``min_cov`` overlap windows.
+
+    The Python restatement of Raven's pile-o-gram trim: coverage events
+    from every span-verified overlap window, swept for the longest
+    contiguous ≥min_cov run. Reads whose best run is shorter than
+    ``min_len`` are dropped (returned as ``None``)."""
+    trims: List[Optional[Tuple[int, int]]] = []
+    for r, ln in enumerate(read_lens):
+        ivs = piles.get(r)
+        if not ivs:
+            trims.append(None)
+            continue
+        events = sorted(
+            [(lo, 1) for lo, _ in ivs] + [(hi, -1) for _, hi in ivs]
+        )
+        cov = 0
+        best = (0, 0)
+        run_start = None
+        for pos, delta in events:
+            was = cov
+            cov += delta
+            if was < min_cov <= cov:
+                run_start = pos
+            elif cov < min_cov <= was and run_start is not None:
+                if pos - run_start > best[1] - best[0]:
+                    best = (run_start, pos)
+                run_start = None
+        if best[1] - best[0] < min_len:
+            trims.append(None)
+        else:
+            trims.append(best)
+    return trims
 
 
 def _verify_span(
@@ -317,10 +424,23 @@ def emit_graph(
     contained: List[bool],
     csv_path: str,
     gfa_path: Optional[str] = None,
+    trims: Optional[List[Optional[Tuple[int, int]]]] = None,
 ) -> None:
-    """Write CSV + GFA in the reference contract (``graph_parser.py:187-200``)."""
+    """Write CSV + GFA in the reference contract (``graph_parser.py:187-200``).
+
+    ``trims``: per-read ``(t0, t1)`` pile trims. The GFA carries the
+    *trimmed* sequences (the parser's sequences "are already trimmed",
+    ``graph_parser.py:123``), node LN fields the trimmed lengths, and
+    trimmed node rows the ``"t0 t1"`` payload the reference parser applies
+    to the simulator headers' genome coordinates (``graph_parser.py:241-250``).
+    """
     if gfa_path is None:
         gfa_path = csv_path[:-3] + "gfa"
+
+    def trim_of(r: int) -> Tuple[int, int]:
+        if trims is None or trims[r] is None:
+            return (0, len(reads[r]))
+        return trims[r]
 
     # keep non-contained reads that appear in at least one overlap
     used_reads = sorted(
@@ -339,15 +459,20 @@ def emit_graph(
     with open(gfa_path, "w") as f:
         for r in used_reads:
             rid = headers[r].split()[0]
-            f.write(f"S\t{rid}\t{reads[r]}\tLN:i:{len(reads[r])}\tRC:i:1\n")
+            t0, t1 = trim_of(r)
+            seq = reads[r][t0:t1]
+            f.write(f"S\t{rid}\t{seq}\tLN:i:{len(seq)}\tRC:i:1\n")
 
     def node_field(node: int) -> str:
         g = node // 2
-        return f"{node} [{g}] LN:i:{len(reads[used_reads[g]])}"
+        t0, t1 = trim_of(used_reads[g])
+        return f"{node} [{g}] LN:i:{t1 - t0}"
 
     with open(csv_path, "w") as f:
         for g, r in enumerate(used_reads):
-            f.write(f"{node_field(2 * g)},{node_field(2 * g + 1)},0,-\n")
+            t0, t1 = trim_of(r)
+            payload = "-" if (t0, t1) == (0, len(reads[r])) else f"{t0} {t1}"
+            f.write(f"{node_field(2 * g)},{node_field(2 * g + 1)},0,{payload}\n")
         for eid, o in enumerate(overlaps):
             u, v = node_id(o.u), node_id(o.v)
             f.write(
@@ -364,24 +489,40 @@ def build_overlap_graph(
     k: int = 15,
     w: int = 5,
     min_overlap: int = 500,
+    noisy: bool = False,
+    trim_min_cov: int = 3,
 ) -> None:
     """End-to-end builder: reads FASTA → CSV/GFA on disk.
 
     Prefers the native C++ builder when available (chromosome scale);
     falls back to this Python implementation.
+
+    ``noisy=True`` enables the error-tolerant front end (the role of
+    Raven's default mode on real HiFi reads, ``graph_dataset.py:118-122``):
+    the ``identity`` k-mer identity gate and pile trimming at
+    ``trim_min_cov`` coverage (trim payloads + trimmed GFA sequences are
+    emitted per the parser contract, ``graph_parser.py:241-250``).
+    Error-free simulated reads keep the exact legacy output with
+    ``noisy=False`` (vote-density similarity, no trimming).
     """
     from gnnome_tpu.data import native_bridge
 
     if native_bridge.available():
         native_bridge.build_overlap_graph(
-            reads_path, csv_path, threads, identity, k, w, min_overlap
+            reads_path, csv_path, threads, identity if noisy else 0.0,
+            k, w, min_overlap, trim_min_cov if noisy else 0,
         )
         return
 
     records = parse_fasta(reads_path)
     headers = [h for h, _ in records]
     reads = [s for _, s in records]
-    overlaps, contained = find_overlaps(reads, k=k, w=w, min_overlap=min_overlap)
+    overlaps, contained, trims = find_overlaps(
+        reads, k=k, w=w, min_overlap=min_overlap,
+        identity=identity if noisy else 0.0,
+        trim_min_cov=trim_min_cov if noisy else 0,
+        return_trims=True,
+    )
     # Remove contained reads BEFORE transitive reduction (Raven's order):
     # reducing first can delete an edge as "explained" by a path through a
     # read that containment-removal then deletes, leaving spurious dead
@@ -391,4 +532,5 @@ def build_overlap_graph(
         if not (contained[o.u // 2] or contained[o.v // 2])
     ]
     overlaps = transitive_reduction(overlaps, 2 * len(reads))
-    emit_graph(headers, reads, overlaps, contained, csv_path)
+    emit_graph(headers, reads, overlaps, contained, csv_path,
+               trims=trims if noisy else None)

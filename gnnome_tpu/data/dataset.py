@@ -239,6 +239,11 @@ class AssemblyGraphDataset:
                 csv_path,
                 threads=self.specs.get("threads", 32),
                 identity=self.specs.get("filter", 0.99),
+                # noisy front end (identity gate + pile trimming) for
+                # error-carrying reads — the role of Raven's default mode
+                # on real HiFi data (graph_dataset.py:118-122)
+                noisy=self.specs.get("noisy", False),
+                trim_min_cov=self.specs.get("trim_min_cov", 3),
             )
             process_raw_graph(csv_path, reads_path, self.root, idx)
 

@@ -38,12 +38,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gn_simulate_reads.restype = ctypes.c_longlong
     lib.gn_simulate_reads.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_char_p,
-        ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_double,
     ]
     lib.gn_build_overlap_graph.restype = ctypes.c_int
     lib.gn_build_overlap_graph.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.gn_partition_graph.restype = ctypes.c_int
     lib.gn_partition_graph.argtypes = [
@@ -60,13 +60,13 @@ def available() -> bool:
 
 def simulate_reads(
     genome_path: str, out_path: str, coverage: float, distribution_path: str,
-    seed: int,
+    seed: int, error_rate: float = 0.0,
 ) -> int:
     lib = _load()
     assert lib is not None
     n = lib.gn_simulate_reads(
         genome_path.encode(), out_path.encode(), coverage,
-        distribution_path.encode(), seed,
+        distribution_path.encode(), seed, error_rate,
     )
     if n < 0:
         raise RuntimeError(f"native simulate_reads failed (code {n})")
@@ -75,13 +75,15 @@ def simulate_reads(
 
 def build_overlap_graph(
     reads_path: str, csv_path: str, threads: int, identity: float,
-    k: int, w: int, min_overlap: int,
+    k: int, w: int, min_overlap: int, trim_min_cov: int = 0,
 ) -> None:
+    """identity <= 0 disables the k-mer identity gate; trim_min_cov <= 0
+    disables pile trimming (both = error-free legacy behavior)."""
     lib = _load()
     assert lib is not None
     rc = lib.gn_build_overlap_graph(
         reads_path.encode(), csv_path.encode(), threads, identity, k, w,
-        min_overlap,
+        min_overlap, trim_min_cov,
     )
     if rc != 0:
         raise RuntimeError(f"native build_overlap_graph failed (code {rc})")

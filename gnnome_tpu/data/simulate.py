@@ -83,6 +83,7 @@ def simulate_reads(
     lengths: np.ndarray,
     seed: int = 0,
     circular: bool = False,
+    error_rate: float = 0.0,
 ) -> List[tuple[str, str]]:
     """Sample reads to ``coverage`` × genome length.
 
@@ -91,6 +92,12 @@ def simulate_reads(
     [start, end) on the forward strand regardless of its own strand
     (matching seqrequester's reporting, which the reference's oracle
     consumes as forward-strand coordinates).
+
+    ``error_rate`` injects sequencing errors per base after strand
+    selection (HiFi-like mix: 90% substitutions, 5% insertions, 5%
+    deletions — seqrequester is error-free, so this extends it for
+    exercising the noisy-read leg Raven handles in the reference). The
+    header's genome interval still describes the error-free template.
     """
     rng = np.random.default_rng(seed)
     g_len = len(genome)
@@ -107,10 +114,38 @@ def simulate_reads(
         strand = "+" if rng.random() < 0.5 else "-"
         if strand == "-":
             seq = reverse_complement(seq)
+        if error_rate > 0.0:
+            seq = inject_errors(seq, error_rate, rng)
         records.append((f"{idx} strand={strand}, start={start}, end={end}", seq))
         total += length
         idx += 1
     return records
+
+
+def inject_errors(seq: str, rate: float, rng: np.random.Generator) -> str:
+    """Per-base errors: 90% substitution, 5% insertion, 5% deletion."""
+    codes = np.frombuffer(seq.encode(), dtype=np.uint8)
+    n = len(codes)
+    err_pos = np.nonzero(rng.random(n) < rate)[0]
+    if len(err_pos) == 0:
+        return seq
+    kinds = rng.random(len(err_pos))
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out: List[bytes] = []
+    prev = 0
+    for pos, kind in zip(err_pos, kinds):
+        out.append(codes[prev:pos].tobytes())
+        base = codes[pos : pos + 1].tobytes()
+        if kind < 0.90:  # substitution: a different base
+            choices = bases[bases != codes[pos]]
+            out.append(choices[rng.integers(0, len(choices))].tobytes())
+        elif kind < 0.95:  # insertion: keep base + a random extra
+            out.append(base)
+            out.append(bases[rng.integers(0, 4)].tobytes())
+        # deletion: emit nothing
+        prev = pos + 1
+    out.append(codes[prev:].tobytes())
+    return b"".join(out).decode()
 
 
 def simulate_to_file(
@@ -121,18 +156,21 @@ def simulate_to_file(
     mean_length: int = 18000,
     std_length: int = 4000,
     seed: int = 0,
+    error_rate: float = 0.0,
 ) -> int:
     """CLI-style entry mirroring ``seqrequester simulate -genome ...
     -coverage ... -distribution ...`` (``pipeline.py:167-168``).
 
     Prefers the native C++ simulator when built; falls back to Python.
-    Returns the number of reads written.
+    Returns the number of reads written. ``error_rate`` injects HiFi-like
+    sequencing errors (see :func:`inject_errors`).
     """
     from gnnome_tpu.data import native_bridge
 
     if native_bridge.available():
         return native_bridge.simulate_reads(
-            genome_path, out_path, coverage, distribution_path or "", seed
+            genome_path, out_path, coverage, distribution_path or "", seed,
+            error_rate,
         )
 
     genome = read_fasta_sequence(genome_path)
@@ -143,6 +181,7 @@ def simulate_to_file(
         lengths = np.maximum(
             rng.normal(mean_length, std_length, size=10000).astype(np.int64), 1000
         )
-    records = simulate_reads(genome, coverage, lengths, seed=seed)
+    records = simulate_reads(genome, coverage, lengths, seed=seed,
+                             error_rate=error_rate)
     write_fasta(out_path, records)
     return len(records)

@@ -111,58 +111,65 @@ def plan_windows(
 
 
 def _take_kernel(
-    w0_ref,  # SMEM int32[S, 2] (scalar prefetch)
-    ids_ref,  # VMEM int32[SUBROWS, LANE] block
+    w0_ref,  # SMEM int32[S * 2] (scalar prefetch; flat — a 2-wide minor
+    #          dim would be lane-padded 64x in SMEM by the Mosaic tiler)
+    ids_ref,  # VMEM int32[SUBROWS_PER_CHUNK, LANE] block
     table_hbm,  # ANY [R, D]
     out_ref,  # VMEM [CHUNK, D] block
-    win_buf,  # VMEM [2, SUBROWS, 2, wr, D] scratch
-    sems,  # DMA sems [2, SUBROWS, 2]
+    win_buf,  # VMEM [nslots, 2, wr, D] scratch (revolving subrow slots)
+    sems,  # DMA sems [nslots, 2]
     *,
     wr: int,
     out_dim: int,
-    nchunks: int,
-    subrows: int,
+    total_subrows: int,
+    nslots: int,
 ):
+    # Revolving-slot pipeline at SUBROW granularity: global subrow g uses
+    # slot g % nslots, so nslots window-pair DMAs stay in flight across
+    # chunk boundaries. (The ids block is fixed at 8 subrows — the Mosaic
+    # block-shape divisibility rule — while VMEM scratch scales with
+    # nslots, not the chunk.)
     c = pl.program_id(0)
 
-    def window_dma(slot, chunk, r, wi):
-        start = pl.multiple_of(w0_ref[chunk * subrows + r, wi], 8)
+    def window_dma(slot, g, wi):
+        start = pl.multiple_of(w0_ref[2 * g + wi], 8)
         return pltpu.make_async_copy(
             table_hbm.at[pl.ds(start, wr), :],
-            win_buf.at[slot, r, wi],
-            sems.at[slot, r, wi],
+            win_buf.at[slot, wi],
+            sems.at[slot, wi],
         )
-
-    def start_chunk(slot, chunk):
-        for r in range(subrows):
-            for wi in range(2):
-                window_dma(slot, chunk, r, wi).start()
 
     @pl.when(c == 0)
     def _():
-        start_chunk(0, 0)
+        for g0 in range(min(nslots, total_subrows)):
+            for wi in range(2):
+                window_dma(g0 % nslots, g0, wi).start()
 
-    @pl.when(c + 1 < nchunks)
-    def _():
-        start_chunk((c + 1) % 2, c + 1)
-
-    slot = c % 2
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
-    for r in range(subrows):
+    for r in range(SUBROWS_PER_CHUNK):
+        g = c * SUBROWS_PER_CHUNK + r
+        slot = g % nslots
         for wi in range(2):
-            window_dma(slot, c, r, wi).wait()
+            window_dma(slot, g, wi).wait()
         ids_row = ids_ref[r : r + 1, :]  # [1, LANE]
         acc = jnp.zeros((LANE, out_dim), jnp.float32)
         # one selector matmul per window; the planner keeps the windows
         # disjoint, so each id matches at most one one-hot row overall
         # (an overlap would double-count the row).
         for wi in range(2):
-            base = w0_ref[c * subrows + r, wi]
+            base = w0_ref[2 * g + wi]
             onehot = (row_iota + base == ids_row)  # [wr, LANE]
             acc = acc + _select_matmul(
-                onehot.astype(jnp.bfloat16), win_buf[slot, r, wi]
+                onehot.astype(jnp.bfloat16), win_buf[slot, wi]
             )
         out_ref[r * LANE : (r + 1) * LANE, :] = acc.astype(out_ref.dtype)
+
+        # slot g%nslots is free once the loads above retired (VMEM loads
+        # are synchronous); refill it with subrow g+nslots' windows
+        @pl.when(g + nslots < total_subrows)
+        def _():
+            for wi in range(2):
+                window_dma(slot, g + nslots, wi).start()
 
 
 def _select_matmul(onehot, window):
@@ -202,7 +209,7 @@ def banded_take_pallas(
     """
     r_rows, d = table.shape
     e = ids.shape[0]
-    assert e % LANE == 0, f"ids length {e} not a multiple of {LANE}"
+    assert e % CHUNK == 0, f"ids length {e} not a multiple of {CHUNK}"
     assert plan.ok and plan.w0.shape[0] * LANE == e
     if d % LANE != 0:
         d_pad = ((d + LANE - 1) // LANE) * LANE
@@ -210,25 +217,26 @@ def banded_take_pallas(
             jnp.pad(table, ((0, 0), (0, d_pad - d))), ids, plan, interpret
         )
         return out[:, :d]
-    # scratch = 2 slots x subrows x 2 windows x wr x d; cap it at ~4.5 MB
-    # VMEM by shrinking the chunk (more grid steps, same plan)
-    per_subrow = 2 * 2 * plan.wr * d * table.dtype.itemsize
-    subrows = max(1, min(SUBROWS_PER_CHUNK, (4_500_000 // per_subrow) or 1))
-    while (e // LANE) % subrows != 0:
-        subrows -= 1
-    chunk = subrows * LANE
+    # Revolving window slots: scratch = nslots x 2 windows x wr x d, capped
+    # at ~4.5 MB VMEM (the chunk stays fixed at 8 subrows — Mosaic block
+    # divisibility — so only the DMA pipeline depth adapts to the budget).
+    per_slot = 2 * plan.wr * d * table.dtype.itemsize
+    nslots = int(max(2, min(8, 4_500_000 // per_slot)))
+    total_subrows = e // LANE
+    chunk = SUBROWS_PER_CHUNK * LANE
     nchunks = e // chunk
-    ids2 = ids.reshape(e // LANE, LANE)
+    ids2 = ids.reshape(total_subrows, LANE)
 
     kernel = functools.partial(
-        _take_kernel, wr=plan.wr, out_dim=d, nchunks=nchunks, subrows=subrows
+        _take_kernel, wr=plan.wr, out_dim=d, total_subrows=total_subrows,
+        nslots=nslots,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[
             pl.BlockSpec(
-                (subrows, LANE), lambda c, *_: (c, 0),
+                (SUBROWS_PER_CHUNK, LANE), lambda c, *_: (c, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
@@ -237,8 +245,8 @@ def banded_take_pallas(
             (chunk, d), lambda c, *_: (c, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, subrows, 2, plan.wr, d), table.dtype),
-            pltpu.SemaphoreType.DMA((2, subrows, 2)),
+            pltpu.VMEM((nslots, 2, plan.wr, d), table.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 2)),
         ],
     )
     return pl.pallas_call(
@@ -253,7 +261,7 @@ def banded_take_pallas(
             + e * 4 + e * d * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(plan.w0, ids2, table)
+    )(plan.w0.reshape(-1), ids2, table)
 
 
 def take_rows(
@@ -277,7 +285,7 @@ def take_rows(
         plan is not None
         and plan.ok
         and backend in ("pallas", "pallas_interpret")
-        and ids.shape[0] % LANE == 0
+        and ids.shape[0] % CHUNK == 0
     ):
         return banded_take_pallas(
             table, ids, plan, interpret=(backend == "pallas_interpret")

@@ -83,15 +83,23 @@ def set_lr(opt_state, lr: float):
 
 
 def resolve_perf(cfg_train, graph: AssemblyGraph):
-    """Resolve 'auto' perf knobs per graph: wide-row endpoint gathers win
-    once gathers dominate (≥ ~400k edges, PERFORMANCE.md) but their
-    [E, 2D] rows need a narrower remat group to fit HBM at megagraph
-    scale. Returns (wide_gathers, remat, remat_group)."""
+    """Resolve 'auto' perf knobs per graph. Returns
+    (wide_gathers, remat, remat_group).
+
+    Round-2 measurement (PERFORMANCE.md): with the banded windowed-VMEM
+    gather kernel routing all endpoint gathers, NARROW gathers beat wide
+    paired rows at every scale (1M edges: narrow g4 435k vs wide g2 404k
+    edges/s/chip) — wide's halved gather count no longer pays once each
+    gather streams at window bandwidth, and its [E, 2D] rows both shrink
+    the feasible remat group and crash the AOT compile at g4. 'auto'
+    therefore resolves to narrow everywhere; wide remains selectable
+    explicitly (True / 'src'), keeping the round-1 policy reachable when a
+    graph's band plans fall back to XLA gathers."""
     wide = cfg_train.wide_gathers
     group = cfg_train.remat_group
     e = graph.n_edges_padded
     if wide == "auto":
-        wide = e >= 400_000
+        wide = False
     if wide and e > 600_000 and cfg_train.remat in ("group", "unroll_group"):
         group = min(group, 2)
     return wide, cfg_train.remat, group

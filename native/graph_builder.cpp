@@ -56,15 +56,83 @@ struct Overlap {
 
 using OverlapVec = std::vector<Overlap, PopAlloc<Overlap>>;
 
+// span-verified (and identity-gated) overlap candidate; classification
+// into overlap vs containment happens after pile trimming, in trimmed
+// coordinates (mirrors gnnome_tpu/data/builder.py find_overlaps pass 2)
+struct Candidate {
+  int32_t a, b;
+  uint8_t orient;
+  int64_t t;  // oriented-b start offset in a-forward coordinates
+  float sim;
+};
+
+struct PileIv {
+  int32_t read, lo, hi;
+};
+
 struct BuilderResult {
   OverlapVec overlaps;
   std::vector<char> contained;
+  // per-read pile trim (t0, t1); (-1, -1) = read dropped by trimming
+  std::vector<std::pair<int32_t, int32_t>> trims;
 };
+
+// Longest per-read region covered by >= min_cov span-verified overlap
+// windows (Raven's pile-o-gram trim; data/builder.py _pile_trims).
+static void pile_trims(std::vector<PileIv>& ivs, const std::vector<int64_t>& lens,
+                       int min_cov, int min_len, int threads,
+                       std::vector<std::pair<int32_t, int32_t>>& trims) {
+  const int n_reads = (int)lens.size();
+  std::sort(ivs.begin(), ivs.end(), [](const PileIv& x, const PileIv& y) {
+    return x.read != y.read ? x.read < y.read
+                            : (x.lo != y.lo ? x.lo < y.lo : x.hi < y.hi);
+  });
+  std::vector<size_t> starts(n_reads + 1, 0);
+  for (const auto& iv : ivs) ++starts[iv.read + 1];
+  for (int r = 0; r < n_reads; ++r) starts[r + 1] += starts[r];
+#pragma omp parallel num_threads(std::max(threads, 1))
+  {
+    std::vector<std::pair<int32_t, int32_t>> ev;  // (pos, delta)
+#pragma omp for schedule(dynamic, 256)
+    for (int r = 0; r < n_reads; ++r) {
+      const size_t lo = starts[r], hi = starts[r + 1];
+      if (lo == hi) {
+        trims[r] = {-1, -1};
+        continue;
+      }
+      ev.clear();
+      for (size_t i = lo; i < hi; ++i) {
+        ev.push_back({ivs[i].lo, 1});
+        ev.push_back({ivs[i].hi, -1});
+      }
+      std::sort(ev.begin(), ev.end());
+      int cov = 0;
+      int32_t run_start = -1, best_lo = 0, best_hi = 0;
+      for (auto& [pos, delta] : ev) {
+        int was = cov;
+        cov += delta;
+        if (was < min_cov && cov >= min_cov) {
+          run_start = pos;
+        } else if (cov < min_cov && was >= min_cov && run_start >= 0) {
+          if (pos - run_start > best_hi - best_lo) {
+            best_lo = run_start;
+            best_hi = pos;
+          }
+          run_start = -1;
+        }
+      }
+      trims[r] = (best_hi - best_lo < min_len)
+                     ? std::make_pair((int32_t)-1, (int32_t)-1)
+                     : std::make_pair(best_lo, best_hi);
+    }
+  }
+}
 
 static BuilderResult find_overlaps(const std::vector<std::string>& reads,
                                    int k, int w, int min_overlap,
                                    int min_matches, int offset_tol,
-                                   int occ_cap, int max_gap, int threads) {
+                                   int occ_cap, int max_gap, int threads,
+                                   double identity, int trim_min_cov) {
   const int n_reads = (int)reads.size();
   auto t0 = std::chrono::steady_clock::now();
   auto lap = [&t0](const char* stage) {
@@ -108,9 +176,14 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
   // multi-pass merge sort over the full 16B x total array; the per-bucket
   // total-order sort keeps the result deterministic regardless of thread
   // count or scatter interleaving.
-  constexpr int kBucketBits = 24;
-  constexpr int kBucketShift = 64 - kBucketBits;
-  constexpr size_t kNB = (size_t)1 << kBucketBits;
+  // bucket count scaled to the input: ~4+ entries/bucket expected. The
+  // fixed 24-bit table cost ~90s of page-faulted histogram traffic on
+  // sub-megabase inputs (T x 16M counters) for zero sort benefit.
+  int bucket_bits = 24;
+  while (bucket_bits > 8 && ((size_t)1 << bucket_bits) > total / 4 + 1)
+    --bucket_bits;
+  const int kBucketShift = 64 - bucket_bits;
+  const size_t kNB = (size_t)1 << bucket_bits;
   const int T = std::max(threads, 1);
   std::vector<IndexEntry, PopAlloc<IndexEntry>> index(total);
   std::vector<uint32_t, PopAlloc<uint32_t>> bucket_start(kNB + 1, 0);
@@ -188,7 +261,11 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 
   BuilderResult res;
   res.contained.assign(n_reads, 0);
-  std::vector<OverlapVec> per_thread(std::max(threads, 1));
+  const bool need_ident = identity > 0.0;
+  const bool need_trim = trim_min_cov > 0;
+  const int T2 = std::max(threads, 1);
+  std::vector<std::vector<Candidate>> per_thread_cands(T2);
+  std::vector<std::vector<PileIv>> per_thread_piles(T2);
 
 #pragma omp parallel num_threads(threads)
   {
@@ -199,12 +276,17 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 #endif
     std::vector<Match> matches;
     std::vector<int32_t> cpos;  // in-cluster positions (verification scratch)
+    std::vector<int32_t> avalid;  // a's indexable minimizer positions (sorted)
 #pragma omp for schedule(dynamic, 8)
     for (int a = 0; a < n_reads; ++a) {
       matches.clear();
+      avalid.clear();
       for (size_t mi = offsets[a]; mi < offsets[a + 1]; ++mi) {
         const IndexEntry& m = arena[mi];
         auto [rs_lo, rs_hi] = hash_range(m.hash);
+        // arena is in scan order, so positions arrive sorted; hashes over
+        // occ_cap (empty range) are excluded from the identity denominator
+        if (need_ident && rs_hi > rs_lo) avalid.push_back(m.pos);
         for (uint32_t s = rs_lo; s < rs_hi; ++s) {
           const IndexEntry& o = index[s];
           const int32_t oread = o.read();
@@ -268,29 +350,48 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
                 spanned = false;
             if (spanned) {
               const int64_t ovl_w = wa_hi - wa_lo;
-              const float sim = (float)std::min(
-                  1.0, support / std::max(1.0, 2.0 * (double)ovl_w / (w + 1)));
-              if (t >= 0) {
-                if (t + lb <= la) {
-#pragma omp critical(contained)
-                  res.contained[b] = 1;
-                } else if (la - t >= min_overlap) {
-                  int64_t ovl = la - t;
-                  int64_t u = 2 * (int64_t)a, v = 2 * (int64_t)b + orient;
-                  per_thread[tid].push_back({u, v, t, ovl, sim});
-                  per_thread[tid].push_back({v ^ 1, u ^ 1, lb - ovl, ovl, sim});
-                }
+              float sim;
+              bool pass = true;
+              if (need_ident) {
+                // k-mer identity estimate: the fraction of a's indexable
+                // minimizers in the overlap window with an offset-
+                // consistent match in b is ~ I^k for pairwise alignment
+                // identity I (k-mer survival), so I_est = frac^(1/k).
+                // Mirrors data/builder.py find_overlaps; the role of
+                // Raven's --identity (graph_dataset.py:120).
+                const int denom = (int)(std::upper_bound(avalid.begin(),
+                                                         avalid.end(),
+                                                         (int32_t)(wa_hi - 1)) -
+                                        std::lower_bound(avalid.begin(),
+                                                         avalid.end(),
+                                                         (int32_t)wa_lo));
+                int matched = 0;
+                for (size_t i = 0; i < cpos.size(); ++i)
+                  if (i == 0 || cpos[i] != cpos[i - 1]) ++matched;
+                const double frac =
+                    std::min(1.0, (double)matched / std::max(denom, 1));
+                const double est = std::pow(frac, 1.0 / k);
+                pass = est >= identity;
+                sim = (float)est;
               } else {
-                int64_t t2 = -t;
-                if (t2 + la <= lb) {
-#pragma omp critical(contained)
-                  res.contained[a] = 1;
-                } else if (lb - t2 >= min_overlap) {
-                  int64_t ovl = lb - t2;
-                  int64_t u = 2 * (int64_t)b + orient, v = 2 * (int64_t)a;
-                  per_thread[tid].push_back({u, v, t2, ovl, sim});
-                  per_thread[tid].push_back({v ^ 1, u ^ 1, la - ovl, ovl, sim});
+                sim = (float)std::min(
+                    1.0, support / std::max(1.0, 2.0 * (double)ovl_w / (w + 1)));
+              }
+              if (pass) {
+                if (need_trim) {
+                  per_thread_piles[tid].push_back(
+                      {a, (int32_t)wa_lo, (int32_t)wa_hi});
+                  int64_t wb_lo = std::max<int64_t>(0, -t);
+                  int64_t wb_hi = std::min<int64_t>(lb, la - t);
+                  if (orient == 1) {
+                    int64_t tmp = wb_lo;
+                    wb_lo = lb - wb_hi;
+                    wb_hi = lb - tmp;
+                  }
+                  per_thread_piles[tid].push_back(
+                      {b, (int32_t)wb_lo, (int32_t)wb_hi});
                 }
+                per_thread_cands[tid].push_back({a, b, orient, t, sim});
               }
             }
           }
@@ -300,11 +401,81 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     }
   }
   lap("matching");
-  size_t n_ovl = 0;
-  for (auto& v : per_thread) n_ovl += v.size();
-  res.overlaps.reserve(n_ovl);
-  for (auto& v : per_thread)
-    res.overlaps.insert(res.overlaps.end(), v.begin(), v.end());
+
+  // deterministic candidate order (one candidate per (pair, orient))
+  std::vector<Candidate> cands;
+  {
+    size_t n_c = 0;
+    for (auto& v : per_thread_cands) n_c += v.size();
+    cands.reserve(n_c);
+    for (auto& v : per_thread_cands) {
+      cands.insert(cands.end(), v.begin(), v.end());
+      v.clear();
+      v.shrink_to_fit();
+    }
+    std::sort(cands.begin(), cands.end(),
+              [](const Candidate& x, const Candidate& y) {
+                if (x.a != y.a) return x.a < y.a;
+                if (x.b != y.b) return x.b < y.b;
+                return x.orient < y.orient;
+              });
+  }
+
+  // pile trims (Raven's pile-o-gram; no-op full-read trims when disabled)
+  res.trims.assign(n_reads, {0, 0});
+  if (need_trim) {
+    std::vector<PileIv> ivs;
+    size_t n_iv = 0;
+    for (auto& v : per_thread_piles) n_iv += v.size();
+    ivs.reserve(n_iv);
+    for (auto& v : per_thread_piles) {
+      ivs.insert(ivs.end(), v.begin(), v.end());
+      v.clear();
+      v.shrink_to_fit();
+    }
+    pile_trims(ivs, lens, trim_min_cov, min_overlap, threads, res.trims);
+    lap("pile-trims");
+  } else {
+    for (int r = 0; r < n_reads; ++r)
+      res.trims[r] = {0, (int32_t)lens[r]};
+  }
+  for (int r = 0; r < n_reads; ++r)
+    if (res.trims[r].first < 0) res.contained[r] = 1;  // dropped by trim
+
+  // classification in trimmed coordinates (data/builder.py pass 2):
+  // serial over the deterministic candidate order, so overlaps come out
+  // with strand mirrors adjacent in a reproducible sequence
+  for (const Candidate& c : cands) {
+    const auto& [ta0, ta1] = res.trims[c.a];
+    const auto& [tb0, tb1] = res.trims[c.b];
+    if (ta0 < 0 || tb0 < 0) continue;
+    const int64_t lb = lens[c.b];
+    // oriented-b trim window (reverse complement flips intervals)
+    const int64_t ob0 = c.orient == 0 ? tb0 : lb - tb1;
+    const int64_t ob1 = c.orient == 0 ? tb1 : lb - tb0;
+    const int64_t t2 = (c.t + ob0) - ta0;
+    const int64_t la2 = ta1 - ta0, lb2 = ob1 - ob0;
+    const int64_t ovl = std::min(la2, t2 + lb2) - std::max<int64_t>(0, t2);
+    if (ovl <= 0) continue;
+    if (t2 >= 0) {
+      if (t2 + lb2 <= la2) {
+        res.contained[c.b] = 1;
+      } else if (ovl >= min_overlap) {
+        int64_t u = 2 * (int64_t)c.a, v = 2 * (int64_t)c.b + c.orient;
+        res.overlaps.push_back({u, v, t2, ovl, c.sim});
+        res.overlaps.push_back({v ^ 1, u ^ 1, lb2 - ovl, ovl, c.sim});
+      }
+    } else {
+      const int64_t t3 = -t2;
+      if (t3 + la2 <= lb2) {
+        res.contained[c.a] = 1;
+      } else if (ovl >= min_overlap) {
+        int64_t u = 2 * (int64_t)c.b + c.orient, v = 2 * (int64_t)c.a;
+        res.overlaps.push_back({u, v, t3, ovl, c.sim});
+        res.overlaps.push_back({v ^ 1, u ^ 1, la2 - ovl, ovl, c.sim});
+      }
+    }
+  }
   // Deterministic output: which thread produced an overlap depends on the
   // dynamic schedule, so the concatenation order above varies run to run.
   // A total-order sort makes the emitted graph (edge ids, transitive-
@@ -395,7 +566,14 @@ static OverlapVec transitive_reduction(
 static int emit_graph(const std::vector<FastaRecord>& records,
                       const OverlapVec& overlaps_in,
                       const std::vector<char>& contained,
+                      const std::vector<std::pair<int32_t, int32_t>>& trims,
                       const std::string& csv_path) {
+  auto trim_of = [&](size_t r) -> std::pair<int64_t, int64_t> {
+    if (r < trims.size() && trims[r].first >= 0 &&
+        !(trims[r].first == 0 && trims[r].second == 0))
+      return {trims[r].first, trims[r].second};
+    return {0, (int64_t)records[r].seq.size()};
+  };
   // keep non-contained reads appearing in >=1 overlap
   std::vector<char> used(records.size(), 0);
   for (auto& o : overlaps_in) {
@@ -420,16 +598,22 @@ static int emit_graph(const std::vector<FastaRecord>& records,
   if (!gfa) return 2;
   for (int32_t r : used_reads) {
     std::string rid = records[r].header.substr(0, records[r].header.find(' '));
+    // the GFA carries the TRIMMED sequence — the reference parser reads
+    // sequences from the GFA because "they are already trimmed"
+    // (graph_parser.py:123)
+    auto [t0, t1] = trim_of(r);
+    std::string seq = records[r].seq.substr((size_t)t0, (size_t)(t1 - t0));
     std::fprintf(gfa, "S\t%s\t%s\tLN:i:%zu\tRC:i:1\n", rid.c_str(),
-                 records[r].seq.c_str(), records[r].seq.size());
+                 seq.c_str(), seq.size());
   }
   std::fclose(gfa);
 
   auto node_field = [&](int64_t node, std::string& out) {
     int64_t g = node / 2;
+    auto [t0, t1] = trim_of(used_reads[g]);
     char buf[64];
-    std::snprintf(buf, sizeof(buf), "%lld [%lld] LN:i:%zu", (long long)node,
-                  (long long)g, records[used_reads[g]].seq.size());
+    std::snprintf(buf, sizeof(buf), "%lld [%lld] LN:i:%lld", (long long)node,
+                  (long long)g, (long long)(t1 - t0));
     out = buf;
   };
 
@@ -439,7 +623,14 @@ static int emit_graph(const std::vector<FastaRecord>& records,
   for (size_t g = 0; g < used_reads.size(); ++g) {
     node_field(2 * (int64_t)g, fu);
     node_field(2 * (int64_t)g + 1, fv);
-    std::fprintf(csv, "%s,%s,0,-\n", fu.c_str(), fv.c_str());
+    // trimmed node rows carry the "t0 t1" payload the parser applies to
+    // the simulator headers' genome coordinates (graph_parser.py:241-250)
+    auto [t0, t1] = trim_of(used_reads[g]);
+    if (t0 == 0 && t1 == (int64_t)records[used_reads[g]].seq.size())
+      std::fprintf(csv, "%s,%s,0,-\n", fu.c_str(), fv.c_str());
+    else
+      std::fprintf(csv, "%s,%s,0,%lld %lld\n", fu.c_str(), fv.c_str(),
+                   (long long)t0, (long long)t1);
   }
   int64_t eid = 0;
   for (auto& o : overlaps) {
@@ -461,8 +652,11 @@ static int emit_graph(const std::vector<FastaRecord>& records,
 extern "C" int gn_build_overlap_graph(const char* reads_path,
                                       const char* csv_path, int threads,
                                       double identity, int k, int w,
-                                      int min_overlap) {
-  (void)identity;  // reads are error-free simulations; kept for API parity
+                                      int min_overlap, int trim_min_cov) {
+  // identity <= 0 disables the k-mer identity gate (error-free legacy
+  // behavior, bit-identical output); trim_min_cov <= 0 disables pile
+  // trimming. Both on = the noisy-read front end (Raven's role on real
+  // HiFi reads, graph_dataset.py:118-122).
   auto records = gn::read_fasta(reads_path);
   if (records.empty()) return 1;
   std::vector<std::string> reads;
@@ -475,7 +669,7 @@ extern "C" int gn_build_overlap_graph(const char* reads_path,
   auto res = gn::find_overlaps(reads, k, w, min_overlap,
                                /*min_matches=*/4, /*offset_tol=*/128,
                                /*occ_cap=*/256, /*max_gap=*/1000,
-                               std::max(threads, 1));
+                               std::max(threads, 1), identity, trim_min_cov);
   // Remove contained reads BEFORE transitive reduction (Raven's order):
   // reducing first can delete an edge as "explained" by a path through a
   // read that containment-removal then deletes, leaving spurious dead
@@ -491,5 +685,5 @@ extern "C" int gn_build_overlap_graph(const char* reads_path,
   }
   auto reduced = gn::transitive_reduction(res.overlaps, /*fuzz=*/500,
                                           std::max(threads, 1));
-  return gn::emit_graph(records, reduced, res.contained, csv_path);
+  return gn::emit_graph(records, reduced, res.contained, res.trims, csv_path);
 }

@@ -15,10 +15,38 @@
 
 #include "common.hpp"
 
+// Per-base sequencing errors (HiFi-like mix: 90% substitution, 5%
+// insertion, 5% deletion). seqrequester itself is error-free; this extends
+// it so the noisy-read leg Raven handles in the reference is exercisable.
+static std::string inject_errors(const std::string& seq, double rate,
+                                 gn::Rng& rng) {
+  static const char kBases[4] = {'A', 'C', 'G', 'T'};
+  std::string out;
+  out.reserve(seq.size() + 16);
+  for (char c : seq) {
+    if (rng.uniform() >= rate) {
+      out.push_back(c);
+      continue;
+    }
+    double kind = rng.uniform();
+    if (kind < 0.90) {  // substitution with a different base
+      char b;
+      do {
+        b = kBases[rng.below(4)];
+      } while (b == c);
+      out.push_back(b);
+    } else if (kind < 0.95) {  // insertion: base + random extra
+      out.push_back(c);
+      out.push_back(kBases[rng.below(4)]);
+    }  // else deletion: drop the base
+  }
+  return out;
+}
+
 extern "C" long long gn_simulate_reads(const char* genome_path,
                                        const char* out_path, double coverage,
                                        const char* distribution_path,
-                                       long long seed) {
+                                       long long seed, double error_rate) {
   auto records = gn::read_fasta(genome_path);
   if (records.empty()) return -1;
   std::string genome;
@@ -59,6 +87,7 @@ extern "C" long long gn_simulate_reads(const char* genome_path,
     bool fwd = rng.uniform() < 0.5;
     std::string seq = genome.substr((size_t)start, (size_t)length);
     if (!fwd) seq = gn::reverse_complement(seq);
+    if (error_rate > 0.0) seq = inject_errors(seq, error_rate, rng);
     char buf[128];
     std::snprintf(buf, sizeof(buf), "%lld strand=%c, start=%lld, end=%lld",
                   idx, fwd ? '+' : '-', (long long)start, (long long)end);
