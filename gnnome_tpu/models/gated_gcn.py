@@ -79,7 +79,23 @@ def gated_gcn_layer(
     # double the row width. Measured slower at 200k edges; re-evaluated at
     # 1M where gathers dominate the profile (PERFORMANCE.md).
     a3_dst = None
-    if wide_gathers:  # True = both endpoints paired; "src" = src side only
+    mom = None
+    if batch_norm and not wide_gathers and axis_name is None:
+        from gnnome_tpu.ops.segment import fused_gate_front, gate_front_supported
+
+        if gate_front_supported(graph, backend):
+            # Gate-front fusion: both banded endpoint gathers, the add
+            # chain, and the BN moment sums run in ONE Pallas pass — the
+            # endpoint-gathered tables and the separate moments read never
+            # touch HBM (ops/spmm_pallas.gate_front_pallas).
+            gate, mom = fused_gate_front(
+                b1h, b2h, b3e, graph.src, graph.dst,
+                (graph.by_src, graph.by_dst),
+                n_pad, graph.n_edges, backend,
+            )
+    if mom is not None:
+        pass  # gate + moments already fused above
+    elif wide_gathers:  # True = both endpoints paired; "src" = src side only
         src_rows = gather_by_endpoint(
             jnp.concatenate([b1h, a2h], axis=-1), graph.src, graph.by_src,
             n_pad, backend)
@@ -115,7 +131,12 @@ def gated_gcn_layer(
         from gnnome_tpu.ops.norm import masked_moments
         from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
 
-        mean, var = masked_moments(gate, graph.edge_mask, axis_name=axis_name)
+        if mom is not None:
+            cnt = float(max(graph.n_edges, 1))
+            mean = mom[0] / cnt
+            var = jnp.maximum(mom[1] / cnt - mean * mean, 0.0)
+        else:
+            mean, var = masked_moments(gate, graph.edge_mask, axis_name=axis_name)
         inv = jax.lax.rsqrt(var + 1e-5)
         scale2 = inv * params["norm_e"]["scale"].astype(jnp.float32)
         bias2 = params["norm_e"]["bias"].astype(jnp.float32) - mean * scale2

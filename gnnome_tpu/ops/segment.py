@@ -285,6 +285,102 @@ def gated_aggregate_pregathered(
 
 
 # ---------------------------------------------------------------------------
+# gate-front fusion: dual banded endpoint gather + add + BN moment sums
+# ---------------------------------------------------------------------------
+
+
+def gate_front_supported(graph, backend: Optional[str] = None) -> bool:
+    """True when the fused gate-front kernel can run on ``graph``: pallas
+    backend and covering band plans for both canonical endpoint arrays."""
+    backend = backend or default_backend()
+    sp = graph.by_src.key_plan
+    dp = graph.by_dst.key_plan
+    return (
+        backend in ("pallas", "pallas_interpret")
+        and sp is not None and sp.ok
+        and dp is not None and dp.ok
+        and graph.n_edges_padded % 1024 == 0
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_gate_front(
+    b1h: jax.Array,  # [N_pad, D] src-side projections
+    b2h: jax.Array,  # [N_pad, D] dst-side projections
+    b3e: jax.Array,  # [E_pad, D] edge projections, canonical order
+    src_ids: jax.Array,  # int32[E_pad] graph.src (pads clamped to 0)
+    dst_ids: jax.Array,  # int32[E_pad] graph.dst
+    csrs,  # (by_src, by_dst) — plans for the forward, layouts for the VJP
+    n_pad: int = 0,
+    n_edges: int = 0,
+    backend: Optional[str] = None,
+):
+    """(gate, mom): the SDDMM gate ``b1h[src] + b2h[dst] + b3e`` plus its
+    masked BatchNorm statistics ``[Σ gate ‖ Σ gate²]`` (f32[2, D], real
+    edges only) in one fused Pallas pass (``spmm_pallas.gate_front_pallas``)
+    — neither endpoint-gathered table nor a separate moments read of the
+    gate ever touches HBM. VJP: ``d_b1h``/``d_b2h`` are sorted segment-sums
+    of the total gate cotangent (scatter-free), ``d_b3e`` is the cotangent
+    itself. Reference math: ``layers/gated_gcn_full.py:120-127`` +
+    ``nn.BatchNorm1d`` statistics."""
+    return _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
+                               n_pad, n_edges, backend)
+
+
+def _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
+                        n_pad, n_edges, backend):
+    backend = backend or default_backend()
+    by_src, by_dst = csrs
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import gate_front_pallas
+
+        return gate_front_pallas(
+            b1h, b2h, b3e, src_ids, dst_ids,
+            by_src.key_plan, by_dst.key_plan, n_edges,
+            interpret=(backend == "pallas_interpret"),
+        )
+    # XLA composition (CPU/tests): identical op order to the unfused path
+    gate = (
+        jnp.take(b1h, src_ids, axis=0)
+        + jnp.take(b2h, dst_ids, axis=0)
+        + b3e
+    )
+    g32 = gate.astype(jnp.float32)
+    m = (jnp.arange(gate.shape[0]) < n_edges).astype(jnp.float32)[:, None]
+    mom = jnp.stack([jnp.sum(g32 * m, axis=0),
+                     jnp.sum(g32 * g32 * m, axis=0)])
+    return gate, mom
+
+
+def _gate_front_fwd(b1h, b2h, b3e, src_ids, dst_ids, csrs,
+                    n_pad, n_edges, backend):
+    gate, mom = _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
+                                    n_pad, n_edges, backend)
+    protos = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((0,), x.dtype), (b1h, b2h, b3e)
+    )
+    return (gate, mom), (gate, csrs, protos)
+
+
+def _gate_front_bwd(n_pad, n_edges, backend, res, cot):
+    gate, (by_src, by_dst), (p1, p2, p3) = res
+    d_gate, d_mom = cot
+    mask = (jnp.arange(gate.shape[0]) < n_edges)[:, None]
+    # moments chain: d(Σg)/dg = 1, d(Σg²)/dg = 2g — on real edges only
+    d_total = d_gate.astype(jnp.float32) + jnp.where(
+        mask, d_mom[0] + 2.0 * gate.astype(jnp.float32) * d_mom[1], 0.0
+    )
+    d_total = d_total.astype(p3.dtype)
+    d_b1h = segment_sum_csr(d_total, by_src, n_pad, backend=backend)
+    d_b2h = segment_sum_csr(d_total, by_dst, n_pad, backend=backend)
+    return (d_b1h.astype(p1.dtype), d_b2h.astype(p2.dtype), d_total,
+            None, None, None)
+
+
+fused_gate_front.defvjp(_gate_front_fwd, _gate_front_bwd)
+
+
+# ---------------------------------------------------------------------------
 # gate-epilog fusion: affine-BN + relu + residual + σ + dual segment-sum
 # ---------------------------------------------------------------------------
 

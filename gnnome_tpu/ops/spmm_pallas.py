@@ -483,6 +483,187 @@ def _fused_gate_kernel(
     out_ref[:, feat_dim:] = acc2
 
 
+# ---------------------------------------------------------------------------
+# gate-front fused kernel: dual banded endpoint gather + add + BN moments
+# ---------------------------------------------------------------------------
+
+
+def _gate_front_kernel(
+    w0s_ref,  # SMEM int32[S * 2]  src-plan window starts (scalar prefetch)
+    w0d_ref,  # SMEM int32[S * 2]  dst-plan window starts (scalar prefetch)
+    ids_s_ref,  # VMEM int32[8, LANE] block: clamped src ids
+    ids_d_ref,  # VMEM int32[8, LANE] block: clamped dst ids
+    b3e_ref,  # VMEM [CHUNK, D] block: B3·e edge contribution
+    b1h_hbm,  # ANY [N, D] node table gathered by src
+    b2h_hbm,  # ANY [N, D] node table gathered by dst
+    gate_ref,  # VMEM [CHUNK, D] block out: b1h[src] + b2h[dst] + b3e
+    mom_ref,  # VMEM f32[8, D] out (rows 0/1 = Σ gate, Σ gate²; same block
+    #           every grid step — the sequential TPU grid accumulates)
+    win1_buf,  # VMEM [nslots, 2, wr_s, D]
+    win2_buf,  # VMEM [nslots, 2, wr_d, D]
+    sems,  # DMA sems [nslots, 2, 2]
+    *,
+    wr_s: int,
+    wr_d: int,
+    out_dim: int,
+    total_subrows: int,
+    nslots: int,
+    n_edges: int,
+):
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    c = pl.program_id(0)
+
+    def window_dma(slot, g, wi, ti):
+        w0 = w0s_ref if ti == 0 else w0d_ref
+        buf = win1_buf if ti == 0 else win2_buf
+        hbm = b1h_hbm if ti == 0 else b2h_hbm
+        wr = wr_s if ti == 0 else wr_d
+        start = pl.multiple_of(w0[2 * g + wi], 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, wr), :], buf.at[slot, wi], sems.at[slot, wi, ti]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        for g0 in range(min(nslots, total_subrows)):
+            for wi in range(2):
+                for ti in range(2):
+                    window_dma(g0 % nslots, g0, wi, ti).start()
+        mom_ref[:] = jnp.zeros_like(mom_ref)
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (wr_s, 1), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (wr_d, 1), 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    m_sum = jnp.zeros((1, out_dim), jnp.float32)
+    m_sq = jnp.zeros((1, out_dim), jnp.float32)
+    for r in range(SUBCHUNKS):
+        g = c * SUBCHUNKS + r
+        slot = g % nslots
+        for wi in range(2):
+            for ti in range(2):
+                window_dma(slot, g, wi, ti).wait()
+        ids_s = ids_s_ref[r : r + 1, :]  # [1, LANE]
+        ids_d = ids_d_ref[r : r + 1, :]
+        acc = b3e_ref[r * LANE : (r + 1) * LANE, :].astype(jnp.float32)
+        for wi in range(2):
+            oh_s = (iota_s + w0s_ref[2 * g + wi] == ids_s)
+            acc = acc + _select_matmul(
+                oh_s.astype(jnp.bfloat16), win1_buf[slot, wi])
+            oh_d = (iota_d + w0d_ref[2 * g + wi] == ids_d)
+            acc = acc + _select_matmul(
+                oh_d.astype(jnp.bfloat16), win2_buf[slot, wi])
+        gate_t = acc.astype(gate_ref.dtype)
+        gate_ref[r * LANE : (r + 1) * LANE, :] = gate_t
+        # moments see the OUTPUT-dtype-rounded gate (matches the XLA path,
+        # which computes masked_moments on the materialized bf16 gate);
+        # padding is a static edge suffix, so the mask is an iota compare
+        gf = gate_t.astype(jnp.float32)
+        mask = (row_idx + (c * CHUNK_EDGES + r * LANE) < n_edges).astype(
+            jnp.float32
+        )
+        gm = gf * mask
+        m_sum = m_sum + jnp.sum(gm, axis=0, keepdims=True)
+        m_sq = m_sq + jnp.sum(gm * gf, axis=0, keepdims=True)
+
+        @pl.when(g + nslots < total_subrows)
+        def _():
+            for wi in range(2):
+                for ti in range(2):
+                    window_dma(slot, g + nslots, wi, ti).start()
+
+    mom_ref[0:1, :] += m_sum
+    mom_ref[1:2, :] += m_sq
+
+
+def gate_front_pallas(
+    b1h: jax.Array,  # [N_pad, D] src-side node table
+    b2h: jax.Array,  # [N_pad, D] dst-side node table
+    b3e: jax.Array,  # [E_pad, D] edge-side contribution
+    src_ids: jax.Array,  # int32[E_pad] clamped (pads = 0), canonical order
+    dst_ids: jax.Array,  # int32[E_pad] clamped, canonical order
+    src_plan,  # BandPlan over src_ids (CSR.key_plan of by_src)
+    dst_plan,  # BandPlan over dst_ids (CSR.key_plan of by_dst)
+    n_edges: int,  # real edge count (static; moments mask)
+    interpret: bool = False,
+):
+    """(gate, mom): ``gate = b1h[src] + b2h[dst] + b3e`` and
+    ``mom = [Σ gate·mask ‖ Σ gate²·mask]`` (f32[2, D], mask = real edges) in
+    ONE pass — the SDDMM gate construction plus the BatchNorm statistics
+    reduction, without materializing either endpoint-gathered table.
+
+    Replaces, per layer: two banded gathers (write [E,D] each), the XLA
+    add-chain (re-reads both + b3e, writes gate), and the separate
+    ``masked_moments`` read — the round-2 mega-fusion lever
+    (PERFORMANCE.md "1M-edge profile"). Reference math unchanged:
+    ``layers/gated_gcn_full.py:120-127``.
+    """
+    n_rows, d = b1h.shape
+    e_pad = src_ids.shape[0]
+    assert e_pad % CHUNK_EDGES == 0
+    assert src_plan.ok and dst_plan.ok
+    if d % LANE != 0:
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        padc = ((0, 0), (0, d_pad - d))
+        gate, mom = gate_front_pallas(
+            jnp.pad(b1h, padc), jnp.pad(b2h, padc), jnp.pad(b3e, padc),
+            src_ids, dst_ids, src_plan, dst_plan, n_edges, interpret)
+        return gate[:, :d], mom[:, :d]
+    per_slot = 2 * (src_plan.wr + dst_plan.wr) * d * b1h.dtype.itemsize
+    nslots = int(max(2, min(8, 4_500_000 // per_slot)))
+    total_subrows = e_pad // LANE
+    nchunks = e_pad // CHUNK_EDGES
+
+    kernel = functools.partial(
+        _gate_front_kernel, wr_s=src_plan.wr, wr_d=dst_plan.wr, out_dim=d,
+        total_subrows=total_subrows, nslots=nslots, n_edges=n_edges,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 2, src_plan.wr, d), b1h.dtype),
+            pltpu.VMEM((nslots, 2, dst_plan.wr, d), b2h.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 2, 2)),
+        ],
+    )
+    gate, mom = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, d), b3e.dtype),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * 2 * (src_plan.wr + dst_plan.wr) * d,
+            bytes_accessed=(e_pad // LANE) * 2 * (src_plan.wr + dst_plan.wr)
+            * d * b1h.dtype.itemsize
+            + 2 * e_pad * d * b3e.dtype.itemsize + 2 * e_pad * 4,
+            transcendentals=0,
+        ),
+    )(src_plan.w0.reshape(-1), dst_plan.w0.reshape(-1),
+      src_ids.reshape(total_subrows, LANE), dst_ids.reshape(total_subrows, LANE),
+      b3e, b1h, b2h)
+    return gate, mom[:2]
+
+
 def fused_gate_sigma_aggregate_pallas(
     gate_raw_sorted: jax.Array,
     e_in_sorted: jax.Array,

@@ -126,6 +126,40 @@ struct PopAlloc {
   bool operator!=(const PopAlloc<U>&) const { return false; }
 };
 
+// Grow-only scratch slabs reused across builder invocations. Profiling a
+// chr19-scale run showed the *populate itself* dominating: fresh GB-scale
+// MAP_POPULATE mmaps ran at single-digit MB/s on this hypervisor (the
+// index allocation alone cost 200-1300s per graph, >half the sort stage),
+// while the data passes over the populated memory ran at full bandwidth.
+// A pipeline run builds 15+ graphs in one process; keeping the slabs
+// alive makes every graph after the first skip the populate entirely.
+// Not thread-safe by design: the builder entry points are serial per
+// process (the Python bridge holds the GIL across calls).
+inline void* scratch_slab(int slot, size_t bytes) {
+  constexpr int kSlots = 8;
+  static void* ptr[kSlots] = {};
+  static size_t cap[kSlots] = {};
+  if (cap[slot] < bytes) {
+    if (ptr[slot]) ::munmap(ptr[slot], cap[slot]);
+    size_t want = bytes + bytes / 4;  // headroom: reads vary ~1% per graph
+    void* p = ::mmap(nullptr, want, PROT_READ | PROT_WRITE,
+                     MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
+    if (p == MAP_FAILED) {
+      ptr[slot] = nullptr;
+      cap[slot] = 0;
+      return nullptr;
+    }
+    ptr[slot] = p;
+    cap[slot] = want;
+  }
+  return ptr[slot];
+}
+
+template <class T>
+inline T* scratch(int slot, size_t count) {
+  return (T*)scratch_slab(slot, count * sizeof(T));
+}
+
 inline int base_code(char c) {
   switch (c) {
     case 'A': return 0;

@@ -25,6 +25,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstring>
 #include <cstdint>
 #include <cstdio>
 #include <map>
@@ -155,7 +156,16 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     offsets[r + 1] = minimizer_count(reads[r], k, w);
   for (int r = 0; r < n_reads; ++r) offsets[r + 1] += offsets[r];
   const size_t total = offsets[n_reads];
-  std::vector<IndexEntry, PopAlloc<IndexEntry>> arena(total);
+  // GB-scale buffers come from the process-lifetime scratch pool: fresh
+  // MAP_POPULATE mmaps cost 100s+ of seconds per GB on this hypervisor
+  // (profiled; see common.hpp scratch_slab) and a pipeline run calls the
+  // builder 15+ times in one process.
+  std::vector<IndexEntry, PopAlloc<IndexEntry>> arena_fb;
+  IndexEntry* arena = scratch<IndexEntry>(0, total);
+  if (!arena) {
+    arena_fb.resize(total);
+    arena = arena_fb.data();
+  }
 #pragma omp parallel num_threads(threads)
   {
     std::vector<Minimizer> scratch;
@@ -163,7 +173,7 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
     for (int r = 0; r < n_reads; ++r) {
       scratch.clear();
       minimizers_into(reads[r], k, w, scratch);
-      IndexEntry* out = arena.data() + offsets[r];
+      IndexEntry* out = arena + offsets[r];
       for (auto& m : scratch)
         *out++ = {m.hash, m.pos, ((uint32_t)r << 1) | m.strand};
     }
@@ -185,10 +195,29 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
   const int kBucketShift = 64 - bucket_bits;
   const size_t kNB = (size_t)1 << bucket_bits;
   const int T = std::max(threads, 1);
-  std::vector<IndexEntry, PopAlloc<IndexEntry>> index(total);
-  std::vector<uint32_t, PopAlloc<uint32_t>> bucket_start(kNB + 1, 0);
+  std::vector<IndexEntry, PopAlloc<IndexEntry>> index_fb;
+  IndexEntry* index = scratch<IndexEntry>(1, total);
+  if (!index) {
+    index_fb.resize(total);
+    index = index_fb.data();
+  }
+  std::vector<uint32_t, PopAlloc<uint32_t>> bucket_start_fb;
+  uint32_t* bucket_start = scratch<uint32_t>(2, kNB + 1);
+  if (!bucket_start) {
+    bucket_start_fb.resize(kNB + 1);
+    bucket_start = bucket_start_fb.data();
+  }
   {
-    std::vector<uint32_t, PopAlloc<uint32_t>> hist((size_t)T * kNB, 0);
+    // hist is the only pooled buffer needing zero-init (bucket_start and
+    // index are fully overwritten); memset over already-resident pages is
+    // bandwidth-bound, not fault-bound.
+    std::vector<uint32_t, PopAlloc<uint32_t>> hist_fb;
+    uint32_t* hist = scratch<uint32_t>(3, (size_t)T * kNB);
+    if (!hist) {
+      hist_fb.resize((size_t)T * kNB);
+      hist = hist_fb.data();
+    }
+    std::memset(hist, 0, (size_t)T * kNB * sizeof(uint32_t));
     const size_t chunk = (total + T - 1) / T;
 #pragma omp parallel num_threads(T)
     {
@@ -197,7 +226,7 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 #else
       const int tid = 0;
 #endif
-      uint32_t* h = hist.data() + (size_t)tid * kNB;
+      uint32_t* h = hist + (size_t)tid * kNB;
       const size_t lo = std::min(chunk * tid, total);
       const size_t hi = std::min(lo + chunk, total);
       for (size_t i = lo; i < hi; ++i)
@@ -222,7 +251,7 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
 #else
       const int tid = 0;
 #endif
-      uint32_t* cur = hist.data() + (size_t)tid * kNB;
+      uint32_t* cur = hist + (size_t)tid * kNB;
       const size_t lo = std::min(chunk * tid, total);
       const size_t hi = std::min(lo + chunk, total);
       for (size_t i = lo; i < hi; ++i)
@@ -236,20 +265,20 @@ static BuilderResult find_overlaps(const std::vector<std::string>& reads,
   };
 #pragma omp parallel for schedule(dynamic, 4096) num_threads(threads)
   for (size_t b = 0; b < kNB; ++b)
-    std::sort(index.data() + bucket_start[b], index.data() + bucket_start[b + 1],
+    std::sort(index + bucket_start[b], index + bucket_start[b + 1],
               index_less);
   lap("index-radix-sort");
   // equal-hash range of h among index[s0, s1), or empty if over occ_cap
   auto hash_range = [&](uint64_t h) -> std::pair<uint32_t, uint32_t> {
     const uint32_t b = (uint32_t)(h >> kBucketShift);
-    const IndexEntry* lo = index.data() + bucket_start[b];
-    const IndexEntry* hi = index.data() + bucket_start[b + 1];
+    const IndexEntry* lo = index + bucket_start[b];
+    const IndexEntry* hi = index + bucket_start[b + 1];
     const IndexEntry* s = std::lower_bound(
         lo, hi, h, [](const IndexEntry& e, uint64_t x) { return e.hash < x; });
     const IndexEntry* e = s;
     while (e < hi && e->hash == h && (int)(e - s) <= occ_cap) ++e;
     if ((int)(e - s) > occ_cap) return {0, 0};  // over-frequent hash: drop
-    return {(uint32_t)(s - index.data()), (uint32_t)(e - index.data())};
+    return {(uint32_t)(s - index), (uint32_t)(e - index)};
   };
 
   struct Match {
