@@ -70,6 +70,13 @@ class CSR:
     key_plan: object = None
     order_plan: object = None
     inv_plan: object = None
+    # opposite endpoint ids in THIS layout's sorted order (pads clamped to
+    # 0) + their band plan: lets the reverse aggregation gather neighbor
+    # values DIRECTLY in sorted order, skipping a canonical-order gather +
+    # permute (ops/segment.gather_opposite_sorted). None on CSRs built
+    # outside build_graph (sharded locals, tests) — callers fall back.
+    opp_ids: object = None  # Optional[int32[E_pad]]
+    opp_plan: object = None  # Optional[ops.banded.BandPlan]
 
 
 @jax.tree_util.register_dataclass
@@ -106,7 +113,8 @@ class AssemblyGraph:
 
 def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
                      order: np.ndarray, identity: bool,
-                     key_canonical: np.ndarray = None) -> CSR:
+                     key_canonical: np.ndarray = None,
+                     opp_canonical: np.ndarray = None) -> CSR:
     from gnnome_tpu.ops.banded import plan_windows
 
     n_real = int((key_sorted < PAD_SEGMENT).sum())
@@ -136,6 +144,11 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         inv_order[order] = np.arange(len(order), dtype=np.int32)
         order_plan = plan_windows(order, e_pad)
         inv_plan = plan_windows(inv_order, e_pad)
+    opp_ids = opp_plan = None
+    if opp_canonical is not None and not identity:
+        opp_sorted = np.where(opp_canonical < n_pad, opp_canonical, 0)[order]
+        opp_ids = jnp.asarray(opp_sorted.astype(np.int32))
+        opp_plan = plan_windows(opp_sorted, n_pad)
     return CSR(
         identity=identity,
         order=jnp.asarray(order),
@@ -146,6 +159,8 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         key_plan=key_plan,
         order_plan=order_plan,
         inv_plan=inv_plan,
+        opp_ids=opp_ids,
+        opp_plan=opp_plan,
     )
 
 
@@ -189,7 +204,7 @@ def build_graph(
     src_order = np.argsort(src_key, kind="stable").astype(np.int32)
     by_src = _csr_from_sorted(
         src_key[src_order], n_pad, e_pad, order=src_order, identity=False,
-        key_canonical=src_key,
+        key_canonical=src_key, opp_canonical=dst_c,
     )
 
     node_mask = np.arange(n_pad) < n_nodes

@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from gnnome_tpu.core.graph import AssemblyGraph
 from gnnome_tpu.models.common import init_linear, init_norm, linear
 from gnnome_tpu.ops.norm import masked_batch_norm, masked_layer_norm
-from gnnome_tpu.ops.segment import gated_aggregate, gather_by_endpoint
+from gnnome_tpu.ops.segment import (
+    gated_aggregate,
+    gated_aggregate_opposite,
+    gather_by_endpoint,
+    opposite_gather_supported,
+)
 
 
 def init_gated_gcn_layer(key: jax.Array, dim: int, dtype=jnp.float32) -> Dict:
@@ -158,6 +163,14 @@ def gated_gcn_layer(
                 a3_dst, e_new, graph.by_src, n_pad, key=src_key,
                 backend=backend, eps=eps,
             )
+        elif opposite_gather_supported(graph.by_src, backend):
+            # gather a3h DIRECTLY in src-sorted order — drops the
+            # canonical-order gather + full-table permute (2 fewer [E,D]
+            # memory passes, ×2 under remat recompute)
+            h_bwd = gated_aggregate_opposite(
+                a3h, e_new, graph.by_src, graph.by_dst, n_pad,
+                backend=backend, eps=eps,
+            )
         else:
             h_bwd = gated_aggregate(
                 a3h, e_new, graph.dst, graph.by_dst, graph.by_src, n_pad,
@@ -182,6 +195,11 @@ def gated_gcn_layer(
         if a3_dst is not None:
             h_bwd = gated_aggregate_pregathered(
                 a3_dst, e_new, graph.by_src, n_pad, key=src_key,
+                backend=backend, eps=eps,
+            )
+        elif opposite_gather_supported(graph.by_src, backend):
+            h_bwd = gated_aggregate_opposite(
+                a3h, e_new, graph.by_src, graph.by_dst, n_pad,
                 backend=backend, eps=eps,
             )
         else:

@@ -285,6 +285,130 @@ def gated_aggregate_pregathered(
 
 
 # ---------------------------------------------------------------------------
+# reverse aggregation without permutes: gather neighbors directly in the
+# target layout's sorted order
+# ---------------------------------------------------------------------------
+
+
+def opposite_gather_supported(csr, backend: Optional[str] = None) -> bool:
+    """True when ``gated_aggregate_opposite`` can run on ``csr``: pallas
+    backend and covering band plans for the opposite-endpoint gather (fwd),
+    the inverse permutation (bwd), and the sorted-key cotangent gather."""
+    backend = backend or default_backend()
+    return (
+        backend in ("pallas", "pallas_interpret")
+        and csr.opp_plan is not None and csr.opp_plan.ok
+        and csr.inv_plan is not None and csr.inv_plan.ok
+        and csr.expand_plan is not None and csr.expand_plan.ok
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gather_opposite_sorted(
+    values: jax.Array,  # [N_pad, D] node table
+    csr: CSR,  # target layout (by_src); carries opp_ids/opp_plan
+    by_opp: CSR,  # layout keyed by the opposite endpoint (by_dst), for VJP
+    num_rows: int = 0,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """``values[opp]`` per edge directly in ``csr``'s SORTED order.
+
+    For ``csr=by_src`` this yields ``a3h[dst]`` in src-sorted order in ONE
+    banded gather — the old chain gathered in canonical order and then
+    permuted (write + read + write of a full [E, D] table more). The VJP
+    permutes the cotangent back to canonical (same cost the old chain's
+    VJP paid) and segment-sums it over ``by_opp`` — scatter-free.
+    """
+    return take_rows(values, csr.opp_ids, csr.opp_plan, backend)
+
+
+def _opp_gather_fwd(values, csr, by_opp, num_rows, backend):
+    proto = jnp.zeros((0,), values.dtype)
+    return take_rows(values, csr.opp_ids, csr.opp_plan, backend), (
+        csr, by_opp, proto)
+
+
+def _opp_gather_bwd(num_rows, backend, res, g):
+    csr, by_opp, proto = res
+    # sorted -> canonical is itself a banded gather (csr.inv_plan)
+    g_canon = take_rows(g, csr.inv_order, csr.inv_plan, backend)
+    grad_values = segment_sum_csr(g_canon, by_opp, num_rows, backend=backend)
+    return grad_values.astype(proto.dtype), None, None
+
+
+gather_opposite_sorted.defvjp(_opp_gather_fwd, _opp_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_sigma_aggregate_sorted(e_s, v_s, csr, num_segments, backend):
+    """``_fused_sigma_aggregate`` for inputs ALREADY in ``csr``'s sorted
+    order: no permutes in the forward; the cotangent gather keys on the
+    sorted ``segment_ids`` (expand_plan) instead of the canonical key."""
+    return _fused_forward_sorted(e_s, v_s, csr, num_segments, backend)
+
+
+def _fused_forward_sorted(e_s, v_s, csr, num_segments, backend):
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import fused_sigma_aggregate_pallas
+
+        return fused_sigma_aggregate_pallas(
+            e_s, v_s, csr.segment_ids, csr.offsets, num_segments,
+            interpret=(backend == "pallas_interpret"),
+        )
+    sigma = jax.nn.sigmoid(e_s.astype(jnp.float32))
+    stacked = jnp.concatenate([sigma * v_s.astype(jnp.float32), sigma], axis=-1)
+    return _sorted_segment_sum_raw(stacked, csr, num_segments, backend)
+
+
+def _fused_sorted_fwd(e_s, v_s, csr, num_segments, backend):
+    out = _fused_forward_sorted(e_s, v_s, csr, num_segments, backend)
+    return out, (e_s, v_s, csr.segment_ids, csr.expand_plan)
+
+
+def _fused_sorted_bwd(num_segments, backend, res, g):
+    e_s, v_s, seg_ids, expand_plan = res
+    d = e_s.shape[-1]
+    valid = seg_ids < num_segments
+    gc = take_rows(g.astype(e_s.dtype), seg_ids, expand_plan, backend,
+                   masked=True)
+    g1 = gc[:, :d].astype(jnp.float32)
+    g2 = gc[:, d:].astype(jnp.float32)
+    sig = jax.nn.sigmoid(e_s.astype(jnp.float32))
+    dsig = sig * (1.0 - sig)
+    grad_e = (g1 * v_s.astype(jnp.float32) + g2) * dsig
+    grad_v = g1 * sig
+    grad_e = jnp.where(valid[:, None], grad_e, 0.0).astype(e_s.dtype)
+    grad_v = jnp.where(valid[:, None], grad_v, 0.0).astype(v_s.dtype)
+    return grad_e, grad_v, None
+
+
+_fused_sigma_aggregate_sorted.defvjp(_fused_sorted_fwd, _fused_sorted_bwd)
+
+
+def gated_aggregate_opposite(
+    values: jax.Array,
+    gate_pre: jax.Array,
+    csr: CSR,
+    by_opp: CSR,
+    num_segments: int,
+    backend: Optional[str] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """``gated_aggregate`` with the neighbor gather fused into the target
+    order: gathers ``values`` directly in ``csr``-sorted order (one banded
+    pass instead of gather + permute) and runs the σ-aggregate kernel on
+    sorted inputs. Numerically identical to ``gated_aggregate`` — the
+    kernel sees the exact same rows."""
+    v_s = gather_opposite_sorted(values, csr, by_opp, values.shape[0], backend)
+    e_s = permute_rows(gate_pre, csr.order, csr.inv_order,
+                       csr.order_plan, csr.inv_plan, backend)
+    summed = _fused_sigma_aggregate_sorted(e_s, v_s, csr, num_segments, backend)
+    d = values.shape[-1]
+    return summed[:, :d] / (summed[:, d:] + eps)
+
+
+# ---------------------------------------------------------------------------
 # gate-front fusion: dual banded endpoint gather + add + BN moment sums
 # ---------------------------------------------------------------------------
 

@@ -171,3 +171,49 @@ def test_fused_gate_epilog_matches_unfused(rng):
         for a, b in zip(got_g, ref_g):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_gated_aggregate_opposite_matches(rng):
+    """The permute-free reverse aggregation (gather a3h directly in
+    src-sorted order) must match gated_aggregate exactly — values and
+    grads — on both backends it supports."""
+    from gnnome_tpu.core.graph import PAD_SEGMENT
+    from gnnome_tpu.ops.segment import (
+        gated_aggregate_opposite,
+        opposite_gather_supported,
+    )
+
+    src, dst, g = make_graph(rng, n=90, e=600)
+    assert g.by_src.opp_plan is not None and g.by_src.opp_plan.ok
+    assert opposite_gather_supported(g.by_src, "pallas_interpret")
+    d = 128
+    n_pad = g.n_nodes_padded
+    vals = jnp.asarray(rng.standard_normal((n_pad, d)), jnp.float32)
+    e_new = jnp.asarray(
+        rng.standard_normal((g.n_edges_padded, d)), jnp.float32)
+    src_key = jnp.where(g.edge_mask, g.src, PAD_SEGMENT)
+
+    def ref_fn(v, e):
+        return gated_aggregate(v, e, g.dst, g.by_dst, g.by_src, n_pad,
+                               key=src_key, backend="xla")
+
+    def opp_fn(v, e, backend):
+        return gated_aggregate_opposite(v, e, g.by_src, g.by_dst, n_pad,
+                                        backend=backend)
+
+    def loss_of(fn):
+        def f(v, e):
+            out = fn(v, e)
+            return jnp.sum(out[: g.n_nodes] ** 2)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss_of(ref_fn), argnums=(0, 1))(
+        vals, e_new)
+    for backend in ("xla", "pallas_interpret"):
+        got_l, got_g = jax.value_and_grad(
+            loss_of(lambda v, e: opp_fn(v, e, backend)), argnums=(0, 1)
+        )(vals, e_new)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
+        for a, b in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
