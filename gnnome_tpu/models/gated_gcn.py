@@ -147,11 +147,28 @@ def gated_gcn_layer(
         bias2 = params["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
         affine = jnp.stack([scale2, bias2])
 
-        if not wide_gathers:
-            a2_src = gather_by_endpoint(a2h, graph.src, graph.by_src, n_pad, backend)
-        sum_f, e_new = fused_gate_sigma_aggregate(
-            gate, e_in, a2_src, affine, dst_key, graph.by_dst, n_pad, backend
+        from gnnome_tpu.ops.segment import (
+            epilog_gather_supported,
+            fused_gate_sigma_gather,
         )
+
+        if not wide_gathers and epilog_gather_supported(
+                graph, d, h.dtype.itemsize, backend):
+            # gather-fused epilog: the pregathered [E,D] a2h[src] table
+            # never exists — selected from banded VMEM windows inside the
+            # kernel (2 fewer full-edge passes per forward execution)
+            sum_f, e_new = fused_gate_sigma_gather(
+                gate, e_in, a2h, affine, (dst_key, graph.src),
+                graph.by_dst, graph.by_src, n_pad, backend,
+            )
+        else:
+            if not wide_gathers:
+                a2_src = gather_by_endpoint(
+                    a2h, graph.src, graph.by_src, n_pad, backend)
+            sum_f, e_new = fused_gate_sigma_aggregate(
+                gate, e_in, a2_src, affine, dst_key, graph.by_dst, n_pad,
+                backend
+            )
         d = h.shape[-1]
         h_fwd = sum_f[:, :d] / (sum_f[:, d:] + eps)
         # Backward direction: node j sums σ·A3h over its out-edges, keyed

@@ -386,6 +386,91 @@ def _fused_sorted_bwd(num_segments, backend, res, g):
 _fused_sigma_aggregate_sorted.defvjp(_fused_sorted_fwd, _fused_sorted_bwd)
 
 
+def opposite_megafused_supported(csr, d: int, itemsize: int,
+                                 backend: Optional[str] = None,
+                                 budget_bytes: int = 10_000_000) -> bool:
+    """True when ``_fused_sigma_opposite`` (both gathers inside the kernel)
+    can run: everything ``opposite_gather_supported`` needs, PLUS a
+    covering order plan and both window sets within the VMEM budget."""
+    if not opposite_gather_supported(csr, backend):
+        return False
+    if csr.order_plan is None or not csr.order_plan.ok:
+        return False
+    wbytes = 2 * 8 * 2 * (csr.order_plan.wr + csr.opp_plan.wr) \
+        * max(d, 128) * itemsize
+    return wbytes <= budget_bytes
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_sigma_opposite(
+    values: jax.Array,  # [N_pad, D] node table
+    gate_pre: jax.Array,  # [E_pad, D] e_new, canonical order
+    csr: CSR,  # target (by_src) layout
+    by_opp: CSR,  # opposite (by_dst, identity) layout for the VJP
+    num_segments: int,
+    backend: Optional[str] = None,
+):
+    """[Σ σ·v ‖ Σ σ] per key node of ``csr`` where σ = sigmoid of the
+    order-gathered gate and v = the opposite-endpoint-gathered values —
+    BOTH selected from banded VMEM windows inside one Pallas pass, so the
+    sorted [E, D] copies never exist in HBM."""
+    return _fused_sigma_opposite_forward(
+        values, gate_pre, csr, by_opp, num_segments, backend)
+
+
+def _fused_sigma_opposite_forward(values, gate_pre, csr, by_opp,
+                                  num_segments, backend):
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import fused_sigma_opposite_pallas
+
+        return fused_sigma_opposite_pallas(
+            gate_pre, values, csr.segment_ids, csr.order, csr.opp_ids,
+            csr.order_plan, csr.opp_plan, csr.offsets, num_segments,
+            interpret=(backend == "pallas_interpret"),
+        )
+    # XLA composition (CPU/tests): same rows, op by op
+    e_s = jnp.take(gate_pre, csr.order, axis=0)
+    v_s = jnp.take(values, csr.opp_ids, axis=0)
+    sigma = jax.nn.sigmoid(e_s.astype(jnp.float32))
+    stacked = jnp.concatenate([sigma * v_s.astype(jnp.float32), sigma], axis=-1)
+    return _sorted_segment_sum_raw(stacked, csr, num_segments, backend)
+
+
+def _fused_opp_fwd(values, gate_pre, csr, by_opp, num_segments, backend):
+    out = _fused_sigma_opposite_forward(values, gate_pre, csr, by_opp,
+                                        num_segments, backend)
+    return out, (values, gate_pre, csr, by_opp)
+
+
+def _fused_opp_bwd(num_segments, backend, res, g):
+    values, gate_pre, csr, by_opp = res
+    d = gate_pre.shape[-1]
+    # recompute both banded gathers (cheaper than [E, D] residuals)
+    e_s = take_rows(gate_pre, csr.order, csr.order_plan, backend)
+    v_s = take_rows(values, csr.opp_ids, csr.opp_plan, backend)
+    valid = csr.segment_ids < num_segments
+    gc = take_rows(g.astype(gate_pre.dtype), csr.segment_ids,
+                   csr.expand_plan, backend, masked=True)
+    g1 = gc[:, :d].astype(jnp.float32)
+    g2 = gc[:, d:].astype(jnp.float32)
+    sig = jax.nn.sigmoid(e_s.astype(jnp.float32))
+    dsig = sig * (1.0 - sig)
+    grad_e_s = (g1 * v_s.astype(jnp.float32) + g2) * dsig
+    grad_v_s = g1 * sig
+    grad_e_s = jnp.where(valid[:, None], grad_e_s, 0.0).astype(gate_pre.dtype)
+    grad_v_s = jnp.where(valid[:, None], grad_v_s, 0.0).astype(values.dtype)
+    # sorted -> canonical is a banded gather; then the transpose reduction
+    d_gate_pre = take_rows(grad_e_s, csr.inv_order, csr.inv_plan, backend)
+    grad_v_canon = take_rows(grad_v_s, csr.inv_order, csr.inv_plan, backend)
+    d_values = segment_sum_csr(grad_v_canon, by_opp, values.shape[0],
+                               backend=backend).astype(values.dtype)
+    return d_values, d_gate_pre, None, None
+
+
+_fused_sigma_opposite.defvjp(_fused_opp_fwd, _fused_opp_bwd)
+
+
 def gated_aggregate_opposite(
     values: jax.Array,
     gate_pre: jax.Array,
@@ -399,13 +484,132 @@ def gated_aggregate_opposite(
     order: gathers ``values`` directly in ``csr``-sorted order (one banded
     pass instead of gather + permute) and runs the σ-aggregate kernel on
     sorted inputs. Numerically identical to ``gated_aggregate`` — the
-    kernel sees the exact same rows."""
+    kernel sees the exact same rows. When both band plans fit the VMEM
+    budget the WHOLE thing (both gathers + σ + dual segment-sum) runs as
+    one Pallas pass (``_fused_sigma_opposite``)."""
+    d = values.shape[-1]
+    if opposite_megafused_supported(csr, d, values.dtype.itemsize, backend):
+        summed = _fused_sigma_opposite(
+            values, gate_pre, csr, by_opp, num_segments, backend)
+        return summed[:, :d] / (summed[:, d:] + eps)
     v_s = gather_opposite_sorted(values, csr, by_opp, values.shape[0], backend)
     e_s = permute_rows(gate_pre, csr.order, csr.inv_order,
                        csr.order_plan, csr.inv_plan, backend)
     summed = _fused_sigma_aggregate_sorted(e_s, v_s, csr, num_segments, backend)
-    d = values.shape[-1]
     return summed[:, :d] / (summed[:, d:] + eps)
+
+
+# ---------------------------------------------------------------------------
+# gather-fused gate epilog: the pregathered neighbor table never exists
+# ---------------------------------------------------------------------------
+
+
+def epilog_gather_supported(graph, d: int, itemsize: int,
+                            backend: Optional[str] = None,
+                            budget_bytes: int = 5_500_000) -> bool:
+    """True when ``fused_gate_sigma_gather`` can run: pallas backend, a
+    covering band plan over the canonical src ids, and window VMEM within
+    budget (2 slots × 8 subrows × 2 windows × wr × D)."""
+    backend = backend or default_backend()
+    plan = graph.by_src.key_plan
+    return (
+        backend in ("pallas", "pallas_interpret")
+        and plan is not None and plan.ok
+        and graph.n_edges_padded % 1024 == 0
+        and 2 * 8 * 2 * plan.wr * max(d, 128) * itemsize <= budget_bytes
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_gate_sigma_gather(
+    gate_raw: jax.Array,  # [E, D] pre-norm gate, canonical (CSR) order
+    e_in: jax.Array,  # [E, D] residual edge state
+    values: jax.Array,  # [N_pad, D] neighbor-value node table (A2·h)
+    affine: jax.Array,  # [2, D] f32 (scale2, bias2): folded BN affine
+    keys: tuple,  # (dst ids w/ PAD, clamped canonical src ids = graph.src)
+    csr: CSR,  # identity (canonical) layout = by_dst
+    by_src: CSR,  # transpose layout: clamped-src plan (fwd) + VJP segment-sum
+    num_segments: int,
+    backend: Optional[str] = None,
+):
+    """``fused_gate_sigma_aggregate`` with the neighbor gather fused into
+    the kernel: ``vals = values[src]`` is selected from banded VMEM windows
+    of the node table inside the epilog pass, so the [E, D] pregathered
+    table is never written to (or read from) HBM — 2 fewer full-edge memory
+    passes per forward execution and 0.5 GB less remat residency at 1M
+    edges. VJP recomputes the gather (banded) and segment-sums ``d_vals``
+    over ``by_src`` — the same scatter-free transpose reduction
+    ``gather_by_endpoint`` paid. Reference math unchanged
+    (``layers/gated_gcn_full.py:120-130``)."""
+    return _fused_gate_gather_forward(
+        gate_raw, e_in, values, affine, keys, csr, by_src, num_segments,
+        backend)
+
+
+def _fused_gate_gather_forward(gate_raw, e_in, values, affine, keys, csr,
+                               by_src, num_segments, backend):
+    backend = backend or default_backend()
+    key, src_ids = keys
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import fused_gate_sigma_gather_pallas
+
+        assert csr.identity, "gate fusion runs on the canonical layout only"
+        return fused_gate_sigma_gather_pallas(
+            gate_raw, e_in, values, affine.astype(jnp.float32),
+            csr.segment_ids, src_ids, by_src.key_plan,
+            csr.offsets, num_segments,
+            interpret=(backend == "pallas_interpret"),
+        )
+    # XLA composition (CPU/tests): identical op order to the unfused path
+    vals = jnp.take(values, src_ids, axis=0)
+    pre = gate_raw.astype(jnp.float32) * affine[0] + affine[1]
+    e_new = (jnp.maximum(pre, 0.0) + e_in.astype(jnp.float32)).astype(e_in.dtype)
+    sigma = jax.nn.sigmoid(e_new.astype(jnp.float32))
+    stacked = jnp.concatenate([sigma * vals.astype(jnp.float32), sigma], axis=-1)
+    sums = segment_sum_csr(stacked, csr, num_segments, backend=backend)
+    return sums, e_new
+
+
+def _fused_gate_gather_fwd(gate_raw, e_in, values, affine, keys, csr, by_src,
+                           num_segments, backend):
+    out = _fused_gate_gather_forward(gate_raw, e_in, values, affine, keys,
+                                     csr, by_src, num_segments, backend)
+    return out, (gate_raw, e_in, values, affine, keys, csr.key_plan, by_src)
+
+
+def _fused_gate_gather_bwd(num_segments, backend, res, cot):
+    gate_raw, e_in, values, affine, (key, src_ids), key_plan, by_src = res
+    g_sums, g_enew = cot
+    d = gate_raw.shape[-1]
+    gc = take_rows(g_sums.astype(gate_raw.dtype), key, key_plan, backend,
+                   masked=True)
+    g1 = gc[:, :d].astype(jnp.float32)
+    g2 = gc[:, d:].astype(jnp.float32)
+
+    # recompute the banded gather (cheaper than keeping a [E, D] residual)
+    vals = take_rows(values, src_ids, by_src.key_plan, backend)
+
+    graw = gate_raw.astype(jnp.float32)
+    pre = graw * affine[0] + affine[1]
+    relu_mask = (pre > 0).astype(jnp.float32)
+    e_new = jnp.maximum(pre, 0.0) + e_in.astype(jnp.float32)
+    sig = jax.nn.sigmoid(e_new)
+    dsig = sig * (1.0 - sig)
+
+    d_enew = g_enew.astype(jnp.float32) + (g1 * vals.astype(jnp.float32) + g2) * dsig
+    d_pre = d_enew * relu_mask
+    d_gate_raw = (d_pre * affine[0]).astype(gate_raw.dtype)
+    d_e_in = d_enew.astype(e_in.dtype)
+    d_vals = (g1 * sig).astype(values.dtype)
+    d_values = segment_sum_csr(d_vals, by_src, values.shape[0],
+                               backend=backend).astype(values.dtype)
+    d_scale2 = jnp.sum(d_pre * graw, axis=0)
+    d_bias2 = jnp.sum(d_pre, axis=0)
+    d_affine = jnp.stack([d_scale2, d_bias2]).astype(affine.dtype)
+    return d_gate_raw, d_e_in, d_values, d_affine, None, None, None
+
+
+fused_gate_sigma_gather.defvjp(_fused_gate_gather_fwd, _fused_gate_gather_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -484,6 +484,221 @@ def _fused_gate_kernel(
 
 
 # ---------------------------------------------------------------------------
+# opposite-direction σ-aggregate with BOTH gathers fused: neither the
+# permuted gate nor the gathered neighbor table ever exists in HBM
+# ---------------------------------------------------------------------------
+
+
+def _fused_sigma_opp_kernel(
+    chunk_lo_ref,  # SMEM int32[nblocks] (by_src CSR chunk ranges)
+    chunk_hi_ref,  # SMEM int32[nblocks]
+    w0e_ref,  # SMEM int32[S * 2] order-plan window starts (e_new, E-table)
+    w0v_ref,  # SMEM int32[S * 2] opp-plan window starts (values, N-table)
+    enew_hbm,  # ANY [E, D] edge state in CANONICAL order
+    vtab_hbm,  # ANY [N, D] neighbor-value node table (A3·h)
+    ids_hbm,  # ANY int32[E // LANE, LANE] segment (src) ids, sorted
+    eids_hbm,  # ANY int32[E // LANE, LANE] order ids (canonical positions)
+    vids_hbm,  # ANY int32[E // LANE, LANE] clamped opposite (dst) ids
+    out_ref,  # VMEM [BN, 2D] block: [Σ σ·v | Σ σ]
+    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    eids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    vids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    wine_buf,  # VMEM [2, SUBCHUNKS, 2, wr_e, D] e_new windows
+    winv_buf,  # VMEM [2, SUBCHUNKS, 2, wr_v, D] value windows
+    sems,  # DMA sems [2, 3] (ids, eids, vids)
+    win_sems,  # DMA sems [2, SUBCHUNKS, 2, 2]
+    *,
+    block_nodes: int,
+    feat_dim: int,
+    wr_e: int,
+    wr_v: int,
+):
+    """Reverse-direction gated aggregation in by_src-sorted order where the
+    two [E, D] inputs (permuted e_new, gathered a3h[dst]) are SELECTED from
+    banded VMEM windows instead of streamed from pregathered HBM tables —
+    the sorted copies never exist (4 fewer full-edge passes per forward
+    execution, ~1 GB less remat residency at 1M edges)."""
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    i = pl.program_id(0)
+    lo = chunk_lo_ref[i]
+    hi = chunk_hi_ref[i]
+    node_ids = i * block_nodes + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, 1), 0
+    )
+
+    def in_dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                ids_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                eids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                eids_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                vids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                vids_buf.at[slot], sems.at[slot, 2]),
+        )
+
+    def window_dma(slot, c, r, wi, ti):
+        w0 = w0e_ref if ti == 0 else w0v_ref
+        buf = wine_buf if ti == 0 else winv_buf
+        hbm = enew_hbm if ti == 0 else vtab_hbm
+        wr = wr_e if ti == 0 else wr_v
+        start = pl.multiple_of(w0[2 * (c * SUBCHUNKS + r) + wi], 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, wr), :],
+            buf.at[slot, r, wi],
+            win_sems.at[slot, r, wi, ti],
+        )
+
+    def start_chunk(slot, c):
+        for d in in_dmas(slot, c):
+            d.start()
+        for r in range(SUBCHUNKS):
+            for wi in range(2):
+                for ti in range(2):
+                    window_dma(slot, c, r, wi, ti).start()
+
+    @pl.when(lo < hi)
+    def _():
+        start_chunk(0, lo)
+
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (wr_e, 1), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
+
+    def body(c_rel, acc):
+        acc1, acc2 = acc
+        c = lo + c_rel
+        slot = jax.lax.rem(c_rel, 2)
+        nxt = jax.lax.rem(c_rel + 1, 2)
+
+        @pl.when(c + 1 < hi)
+        def _():
+            start_chunk(nxt, c + 1)
+
+        for d in in_dmas(slot, c):
+            d.wait()
+
+        for r in range(SUBCHUNKS):
+            for wi in range(2):
+                for ti in range(2):
+                    window_dma(slot, c, r, wi, ti).wait()
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
+            eids_row = eids_buf[slot, r : r + 1, :]
+            vids_row = vids_buf[slot, r : r + 1, :]
+            e_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+            v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+            for wi in range(2):
+                base_e = w0e_ref[2 * (c * SUBCHUNKS + r) + wi]
+                sel_e = (iota_e + base_e == eids_row)
+                e_rows = e_rows + _select_matmul(
+                    sel_e.astype(jnp.bfloat16), wine_buf[slot, r, wi])
+                base_v = w0v_ref[2 * (c * SUBCHUNKS + r) + wi]
+                sel_v = (iota_v + base_v == vids_row)
+                v_rows = v_rows + _select_matmul(
+                    sel_v.astype(jnp.bfloat16), winv_buf[slot, r, wi])
+            sig = jax.nn.sigmoid(e_rows)
+            vdt = winv_buf.dtype
+            sv = (sig * v_rows).astype(vdt)
+            sb = sig.astype(vdt)
+            acc1 = _acc_matmul(acc1, onehot, sv)
+            acc2 = _acc_matmul(acc2, onehot, sb)
+        return acc1, acc2
+
+    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+    out_ref[:, :feat_dim] = acc1
+    out_ref[:, feat_dim:] = acc2
+
+
+def fused_sigma_opposite_pallas(
+    e_new: jax.Array,  # [E, D] edge state, CANONICAL order
+    values_table: jax.Array,  # [N, D] node table (A3·h)
+    segment_ids_sorted: jax.Array,  # int32[E] src ids, sorted (PAD on pads)
+    order_ids: jax.Array,  # int32[E] canonical position per sorted slot
+    opp_ids: jax.Array,  # int32[E] clamped dst ids, sorted order
+    order_plan,  # BandPlan over order_ids (rows of the [E, D] e_new table)
+    opp_plan,  # BandPlan over opp_ids (rows of the [N, D] value table)
+    offsets: jax.Array,  # by_src CSR offsets
+    num_segments: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """[Σ σ(e_new[order])·values[opp] ‖ Σ σ(e_new[order])] per src node —
+    the reverse GatedGCN aggregation where BOTH sorted inputs are selected
+    from banded VMEM windows inside the kernel."""
+    e_pad = segment_ids_sorted.shape[0]
+    d = e_new.shape[-1]
+    if d % LANE != 0:
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        padc = ((0, 0), (0, d_pad - d))
+        sums = fused_sigma_opposite_pallas(
+            jnp.pad(e_new, padc), jnp.pad(values_table, padc),
+            segment_ids_sorted, order_ids, opp_ids, order_plan, opp_plan,
+            offsets, num_segments, interpret)
+        return jnp.concatenate(
+            [sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1)
+    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    assert e_pad % ch == 0 and num_segments % bn == 0
+    assert order_plan.ok and opp_plan.ok
+    nblocks = num_segments // bn
+    block_edge_lo = offsets[0:num_segments:bn]
+    block_edge_hi = offsets[bn : num_segments + 1 : bn]
+    chunk_lo = (block_edge_lo // ch).astype(jnp.int32)
+    chunk_hi = ((block_edge_hi + ch - 1) // ch).astype(jnp.int32)
+    ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
+    eids_2d = order_ids.reshape(e_pad // LANE, LANE)
+    vids_2d = opp_ids.reshape(e_pad // LANE, LANE)
+
+    kernel = functools.partial(
+        _fused_sigma_opp_kernel, block_nodes=bn, feat_dim=d,
+        wr_e=order_plan.wr, wr_v=opp_plan.wr,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, 2 * d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS, 2, order_plan.wr, d), e_new.dtype),
+            pltpu.VMEM((2, SUBCHUNKS, 2, opp_plan.wr, d), values_table.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, SUBCHUNKS, 2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_segments, 2 * d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_pad * bn * d
+            + 2 * e_pad * 2 * (order_plan.wr + opp_plan.wr) * d,
+            bytes_accessed=(e_pad // LANE) * 2 * order_plan.wr * d
+            * e_new.dtype.itemsize
+            + (e_pad // LANE) * 2 * opp_plan.wr * d
+            * values_table.dtype.itemsize
+            + 3 * e_pad * 4 + num_segments * 2 * d * 4,
+            transcendentals=e_pad * d,
+        ),
+    )(chunk_lo, chunk_hi, order_plan.w0.reshape(-1), opp_plan.w0.reshape(-1),
+      e_new, values_table, ids_2d, eids_2d, vids_2d)
+
+
+# ---------------------------------------------------------------------------
 # gate-front fused kernel: dual banded endpoint gather + add + BN moments
 # ---------------------------------------------------------------------------
 
@@ -662,6 +877,256 @@ def gate_front_pallas(
       src_ids.reshape(total_subrows, LANE), dst_ids.reshape(total_subrows, LANE),
       b3e, b1h, b2h)
     return gate, mom[:2]
+
+
+def _fused_gate_gather_kernel(
+    chunk_lo_ref,  # SMEM int32[nblocks]
+    chunk_hi_ref,  # SMEM int32[nblocks]
+    w0_ref,  # SMEM int32[S * 2] src-plan window starts
+    affine_ref,  # VMEM [2, D]: rows = scale2, bias2 (folded BN affine)
+    graw_hbm,  # ANY [E, D] raw gate (pre-norm), CSR-sorted
+    ein_hbm,  # ANY [E, D] residual edge state, CSR-sorted
+    vtab_hbm,  # ANY [N, D] neighbor-value node table (A2·h)
+    ids_hbm,  # ANY int32[E // LANE, LANE] segment (dst) ids
+    vids_hbm,  # ANY int32[E // LANE, LANE] clamped src ids
+    out_ref,  # VMEM [BN, 2D] block: [Σ σ·v | Σ σ]
+    enew_hbm,  # ANY [E, D] output: e_new = relu(g*s2+b2) + e_in
+    g_buf,  # VMEM [2, CHUNK, D]
+    e_buf,  # VMEM [2, CHUNK, D]
+    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    vids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    enew_buf,  # VMEM [2, CHUNK, D] staging for the e_new write-back
+    win_buf,  # VMEM [2, SUBCHUNKS, 2, wr, D] value-table windows
+    sems,  # DMA sems [2, 4] (graw, ein, ids, vids)
+    out_sem,  # DMA sems [2] (e_new write-back)
+    win_sems,  # DMA sems [2, SUBCHUNKS, 2]
+    *,
+    block_nodes: int,
+    feat_dim: int,
+    wr: int,
+):
+    """``_fused_gate_kernel`` with the neighbor-value gather folded in:
+    instead of streaming a pregathered [E, D] ``vals`` table, each subrow
+    DMAs its two banded windows of the [N, D] node table and selects rows
+    on the MXU (``ops/banded.py`` one-hot pattern) — the pregathered table
+    never exists in HBM (saves its write + read per forward execution and
+    0.5 GB of remat residency at 1M edges)."""
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    i = pl.program_id(0)
+    lo = chunk_lo_ref[i]
+    hi = chunk_hi_ref[i]
+    node_ids = i * block_nodes + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, 1), 0
+    )
+    scale2 = affine_ref[0:1, :].astype(jnp.float32)
+    bias2 = affine_ref[1:2, :].astype(jnp.float32)
+
+    def in_dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                graw_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                g_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                ein_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                e_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                ids_buf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                vids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                vids_buf.at[slot], sems.at[slot, 3]),
+        )
+
+    def window_dma(slot, c, r, wi):
+        start = pl.multiple_of(w0_ref[2 * (c * SUBCHUNKS + r) + wi], 8)
+        return pltpu.make_async_copy(
+            vtab_hbm.at[pl.ds(start, wr), :],
+            win_buf.at[slot, r, wi],
+            win_sems.at[slot, r, wi],
+        )
+
+    def start_chunk(slot, c):
+        for d in in_dmas(slot, c):
+            d.start()
+        for r in range(SUBCHUNKS):
+            for wi in range(2):
+                window_dma(slot, c, r, wi).start()
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            enew_buf.at[slot],
+            enew_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+            out_sem.at[slot],
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        start_chunk(0, lo)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+
+    def body(c_rel, acc):
+        acc1, acc2 = acc
+        c = lo + c_rel
+        slot = jax.lax.rem(c_rel, 2)
+        nxt = jax.lax.rem(c_rel + 1, 2)
+
+        @pl.when(c + 1 < hi)
+        def _():
+            start_chunk(nxt, c + 1)
+
+        for d in in_dmas(slot, c):
+            d.wait()
+
+        # wait for the previous write from this staging slot (if any)
+        @pl.when(c_rel >= 2)
+        def _():
+            out_dma(slot, c - 2).wait()
+
+        for r in range(SUBCHUNKS):
+            for wi in range(2):
+                window_dma(slot, c, r, wi).wait()
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
+            sl = slice(r * LANE, (r + 1) * LANE)
+            graw = g_buf[slot, sl, :].astype(jnp.float32)
+            ein = e_buf[slot, sl, :].astype(jnp.float32)
+            vids_row = vids_buf[slot, r : r + 1, :]  # [1, LANE]
+            v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+            for wi in range(2):
+                base = w0_ref[2 * (c * SUBCHUNKS + r) + wi]
+                sel = (row_iota + base == vids_row)  # [wr, LANE]
+                v_rows = v_rows + _select_matmul(
+                    sel.astype(jnp.bfloat16), win_buf[slot, r, wi])
+            enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
+            enew_buf[slot, sl, :] = enew.astype(enew_buf.dtype)
+            sig = jax.nn.sigmoid(enew)
+            # match the pregathered kernel's numerics: products in the
+            # value dtype so bf16 runs one MXU pass, f32 keeps the split
+            vdt = win_buf.dtype
+            sv = (sig * v_rows).astype(vdt)
+            sb = sig.astype(vdt)
+            acc1 = _acc_matmul(acc1, onehot, sv)
+            acc2 = _acc_matmul(acc2, onehot, sb)
+        out_dma(slot, c).start()
+        return acc1, acc2
+
+    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+
+    # drain outstanding e_new writes
+    @pl.when(hi - lo >= 1)
+    def _():
+        out_dma(jax.lax.rem(hi - lo - 1, 2), hi - 1).wait()
+
+    @pl.when(hi - lo >= 2)
+    def _():
+        out_dma(jax.lax.rem(hi - lo - 2, 2), hi - 2).wait()
+
+    out_ref[:, :feat_dim] = acc1
+    out_ref[:, feat_dim:] = acc2
+
+
+def fused_gate_sigma_gather_pallas(
+    gate_raw_sorted: jax.Array,  # [E, D] canonical (dst-sorted) order
+    e_in_sorted: jax.Array,  # [E, D]
+    values_table: jax.Array,  # [N, D] node table (A2·h)
+    affine: jax.Array,  # [2, D] (scale2, bias2)
+    segment_ids_sorted: jax.Array,  # int32[E] dst ids (PAD on padding)
+    value_ids: jax.Array,  # int32[E] clamped src ids, canonical order
+    value_plan,  # BandPlan over value_ids (by_src.key_plan)
+    offsets: jax.Array,
+    num_segments: int,
+    interpret: bool = False,
+):
+    """``fused_gate_sigma_aggregate_pallas`` with the neighbor gather
+    fused: the [E, D] pregathered ``vals`` table is replaced by banded
+    window DMAs of the [N, D] node table selected on the MXU. Numerically
+    identical on bf16 tables (selection is exact); ~2⁻⁴⁸ on f32."""
+    e_pad, d = gate_raw_sorted.shape
+    if d % LANE != 0:
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        padc = ((0, 0), (0, d_pad - d))
+        sums, e_new = fused_gate_sigma_gather_pallas(
+            jnp.pad(gate_raw_sorted, padc), jnp.pad(e_in_sorted, padc),
+            jnp.pad(values_table, padc), jnp.pad(affine, padc),
+            segment_ids_sorted, value_ids, value_plan, offsets,
+            num_segments, interpret)
+        return (
+            jnp.concatenate([sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1),
+            e_new[:, :d],
+        )
+    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    assert e_pad % ch == 0 and num_segments % bn == 0
+    assert value_plan.ok and value_plan.w0.shape[0] * LANE == e_pad
+    nblocks = num_segments // bn
+    block_edge_lo = offsets[0:num_segments:bn]
+    block_edge_hi = offsets[bn : num_segments + 1 : bn]
+    chunk_lo = (block_edge_lo // ch).astype(jnp.int32)
+    chunk_hi = ((block_edge_hi + ch - 1) // ch).astype(jnp.int32)
+    # the last block also covers the padding chunks so every e_new row is
+    # written (their segment ids never match, so sums are unaffected)
+    is_last = jnp.arange(nblocks) == nblocks - 1
+    chunk_hi = jnp.where(is_last, e_pad // ch, chunk_hi).astype(jnp.int32)
+    chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
+    ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
+    vids_2d = value_ids.reshape(e_pad // LANE, LANE)
+
+    kernel = functools.partial(
+        _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
+        wr=value_plan.wr,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # affine, whole array
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, 2 * d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # e_new stays in HBM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ch, d), gate_raw_sorted.dtype),
+            pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
+            pltpu.VMEM((2, SUBCHUNKS, 2, value_plan.wr, d),
+                       values_table.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, SUBCHUNKS, 2)),
+        ],
+    )
+    sums, e_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_segments, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, d), e_in_sorted.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_pad * bn * d + 2 * e_pad * 2 * value_plan.wr * d,
+            bytes_accessed=2 * e_pad * d * gate_raw_sorted.dtype.itemsize
+            + (e_pad // LANE) * 2 * value_plan.wr * d
+            * values_table.dtype.itemsize
+            + 2 * e_pad * 4 + num_segments * 2 * d * 4
+            + e_pad * d * e_in_sorted.dtype.itemsize,
+            transcendentals=e_pad * d,
+        ),
+    )(chunk_lo, chunk_hi, value_plan.w0.reshape(-1), affine,
+      gate_raw_sorted, e_in_sorted, values_table, ids_2d, vids_2d)
+    return sums, e_new
 
 
 def fused_gate_sigma_aggregate_pallas(

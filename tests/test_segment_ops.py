@@ -173,6 +173,98 @@ def test_fused_gate_epilog_matches_unfused(rng):
                                        rtol=2e-3, atol=2e-3)
 
 
+def test_fused_gate_sigma_gather_matches(rng):
+    """Gather-fused gate epilog (neighbor rows selected from banded VMEM
+    windows inside the kernel) equals the composition with a pregathered
+    [E, D] table — values and all gradients, both backends."""
+    import jax
+    from gnnome_tpu.core.graph import PAD_SEGMENT
+    from gnnome_tpu.ops.segment import (
+        epilog_gather_supported,
+        fused_gate_sigma_aggregate,
+        fused_gate_sigma_gather,
+        gather_by_endpoint,
+    )
+
+    src, dst, g = make_graph(rng, n=90, e=600)
+    assert epilog_gather_supported(g, 128, 4, "pallas_interpret")
+    d = 128
+    e = len(src)
+    n_pad = g.n_nodes_padded
+    graw = prepare_edge_features(g, rng.standard_normal((e, d)).astype(np.float32))
+    e_in = prepare_edge_features(g, rng.standard_normal((e, d)).astype(np.float32))
+    values = jnp.asarray(rng.standard_normal((n_pad, d)), jnp.float32)
+    affine = jnp.asarray(
+        np.stack([rng.uniform(0.5, 1.5, d), rng.standard_normal(d)]).astype(np.float32))
+    dst_key = jnp.where(g.edge_mask, g.dst, PAD_SEGMENT)
+
+    def ref_fn(graw_, e_in_, values_, affine_):
+        vals = gather_by_endpoint(values_, g.src, g.by_src, n_pad, "xla")
+        return fused_gate_sigma_aggregate(
+            graw_, e_in_, vals, affine_, dst_key, g.by_dst, n_pad, "xla")
+
+    def loss_of(fn):
+        def f(*args):
+            sums, e_new = fn(*args)
+            m = jnp.asarray(np.asarray(g.edge_mask))[:, None]
+            return jnp.sum(sums[: g.n_nodes] ** 2) + jnp.sum((e_new * m) ** 3)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss_of(ref_fn), argnums=(0, 1, 2, 3))(
+        graw, e_in, values, affine)
+
+    for backend in ("xla", "pallas_interpret"):
+        fn = lambda a, b, c, d_: fused_gate_sigma_gather(
+            a, b, c, d_, (dst_key, g.src), g.by_dst, g.by_src, n_pad, backend)
+        got_l, got_g = jax.value_and_grad(loss_of(fn), argnums=(0, 1, 2, 3))(
+            graw, e_in, values, affine)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-4)
+        for a, b in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_fused_sigma_opposite_matches(rng):
+    """The mega-fused reverse aggregation (order-gather + opposite-gather +
+    σ + dual segment-sum in ONE kernel) equals the composition — values and
+    grads, both backends. Calls the op directly: the small f32 fixture's
+    window plans exceed the production VMEM budget gate."""
+    from gnnome_tpu.ops.segment import _fused_sigma_opposite
+
+    src, dst, g = make_graph(rng, n=90, e=600)
+    d = 128
+    n_pad = g.n_nodes_padded
+    vals = jnp.asarray(rng.standard_normal((n_pad, d)), jnp.float32)
+    e_new = jnp.asarray(
+        rng.standard_normal((g.n_edges_padded, d)), jnp.float32)
+
+    def ref_fn(v, e):
+        e_s = jnp.take(e, np.asarray(g.by_src.order), axis=0)
+        v_s = jnp.take(v, np.asarray(g.by_src.opp_ids), axis=0)
+        sigma = jax.nn.sigmoid(e_s)
+        stacked = jnp.concatenate([sigma * v_s, sigma], axis=-1)
+        from gnnome_tpu.ops.segment import _sorted_segment_sum_raw
+        return _sorted_segment_sum_raw(stacked, g.by_src, n_pad, "xla")
+
+    def loss_of(fn):
+        def f(v, e):
+            out = fn(v, e)
+            return jnp.sum(out[: g.n_nodes] ** 2)
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss_of(ref_fn), argnums=(0, 1))(
+        vals, e_new)
+    for backend in ("xla", "pallas_interpret"):
+        fn = lambda v, e: _fused_sigma_opposite(
+            v, e, g.by_src, g.by_dst, n_pad, backend)
+        got_l, got_g = jax.value_and_grad(loss_of(fn), argnums=(0, 1))(
+            vals, e_new)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
+        for a, b in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_gated_aggregate_opposite_matches(rng):
     """The permute-free reverse aggregation (gather a3h directly in
     src-sorted order) must match gated_aggregate exactly — values and
