@@ -113,7 +113,14 @@ def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16,
     else:
         node_map = np.arange(max(n, 1), dtype=np.int32)
         dev_src, dev_dst = src, dst
-    graph = build_graph(dev_src, dev_dst, n)
+    # geometric shape bucketing: round pad sizes to ~3% granularity so
+    # near-size graphs (e.g. the 15 same-chromosome training graphs)
+    # collapse onto ONE compiled program — each distinct (n_pad, e_pad)
+    # costs a full XLA compile of the train step otherwise
+    n_mult = max(256, 1 << max(int(n).bit_length() - 5, 0))
+    e_mult = max(1024, 1 << max(int(len(src)).bit_length() - 5, 0))
+    graph = build_graph(dev_src, dev_dst, n, node_pad_multiple=n_mult,
+                        edge_pad_multiple=e_mult)
 
     ol_len = znorm(z["overlap_length"].astype(np.float32))
     ol_sim = znorm(z["overlap_similarity"].astype(np.float32))

@@ -72,7 +72,8 @@ def gated_gcn_layer(
     a3h = linear(params["A3"], h)
     b1h = linear(params["B1"], h)
     b2h = linear(params["B2"], h)
-    b3e = linear(params["B3"], e)
+    # B3·e is computed lazily per branch: the gate-front kernel projects
+    # in-kernel (no b3e materialization on the fused path)
 
     n_pad = graph.n_nodes_padded
     d = h.shape[-1]
@@ -89,18 +90,20 @@ def gated_gcn_layer(
         from gnnome_tpu.ops.segment import fused_gate_front, gate_front_supported
 
         if gate_front_supported(graph, backend):
-            # Gate-front fusion: both banded endpoint gathers, the add
-            # chain, and the BN moment sums run in ONE Pallas pass — the
-            # endpoint-gathered tables and the separate moments read never
-            # touch HBM (ops/spmm_pallas.gate_front_pallas).
+            # Gate-front fusion: the B3 projection (in-kernel MXU matmul),
+            # both banded endpoint gathers, the add chain, and the BN
+            # moment sums run in ONE Pallas pass — neither endpoint table,
+            # the projected b3e, nor a separate moments read ever touches
+            # HBM (ops/spmm_pallas.gate_front_pallas).
             gate, mom = fused_gate_front(
-                b1h, b2h, b3e, graph.src, graph.dst,
-                (graph.by_src, graph.by_dst),
+                b1h, b2h, e, params["B3"]["w"], params["B3"]["b"],
+                graph.src, graph.dst, (graph.by_src, graph.by_dst),
                 n_pad, graph.n_edges, backend,
             )
     if mom is not None:
         pass  # gate + moments already fused above
     elif wide_gathers:  # True = both endpoints paired; "src" = src side only
+        b3e = linear(params["B3"], e)
         src_rows = gather_by_endpoint(
             jnp.concatenate([b1h, a2h], axis=-1), graph.src, graph.by_src,
             n_pad, backend)
@@ -119,7 +122,7 @@ def gated_gcn_layer(
         gate = (
             gather_by_endpoint(b1h, graph.src, graph.by_src, n_pad, backend)
             + gather_by_endpoint(b2h, graph.dst, graph.by_dst, n_pad, backend)
-            + b3e
+            + linear(params["B3"], e)
         )
     # per-edge key arrays with padding marked (drops padded-edge cotangents
     # in the fused ops' backwards)

@@ -631,11 +631,13 @@ def gate_front_supported(graph, backend: Optional[str] = None) -> bool:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_gate_front(
     b1h: jax.Array,  # [N_pad, D] src-side projections
     b2h: jax.Array,  # [N_pad, D] dst-side projections
-    b3e: jax.Array,  # [E_pad, D] edge projections, canonical order
+    e: jax.Array,  # [E_pad, D] edge state (B3 projection runs in-kernel)
+    w3: jax.Array,  # [D, D] B3 weight (edge dtype)
+    bias3: jax.Array,  # [D] B3 bias
     src_ids: jax.Array,  # int32[E_pad] graph.src (pads clamped to 0)
     dst_ids: jax.Array,  # int32[E_pad] graph.dst
     csrs,  # (by_src, by_dst) — plans for the forward, layouts for the VJP
@@ -643,19 +645,20 @@ def fused_gate_front(
     n_edges: int = 0,
     backend: Optional[str] = None,
 ):
-    """(gate, mom): the SDDMM gate ``b1h[src] + b2h[dst] + b3e`` plus its
-    masked BatchNorm statistics ``[Σ gate ‖ Σ gate²]`` (f32[2, D], real
-    edges only) in one fused Pallas pass (``spmm_pallas.gate_front_pallas``)
-    — neither endpoint-gathered table nor a separate moments read of the
-    gate ever touches HBM. VJP: ``d_b1h``/``d_b2h`` are sorted segment-sums
-    of the total gate cotangent (scatter-free), ``d_b3e`` is the cotangent
-    itself. Reference math: ``layers/gated_gcn_full.py:120-127`` +
-    ``nn.BatchNorm1d`` statistics."""
-    return _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
-                               n_pad, n_edges, backend)
+    """(gate, mom): the SDDMM gate ``b1h[src] + b2h[dst] + (e·W3 + b3)``
+    plus its masked BatchNorm statistics ``[Σ gate ‖ Σ gate²]`` (f32[2, D],
+    real edges only) in one fused Pallas pass
+    (``spmm_pallas.gate_front_pallas``) — neither endpoint-gathered table,
+    the projected b3e, nor a separate moments read of the gate ever touches
+    HBM. VJP: ``d_b1h``/``d_b2h`` are sorted segment-sums of the total gate
+    cotangent (scatter-free); the B3 grads are ordinary matmuls. Reference
+    math: ``layers/gated_gcn_full.py:120-127`` + ``nn.BatchNorm1d``
+    statistics."""
+    return _gate_front_forward(b1h, b2h, e, w3, bias3, src_ids, dst_ids,
+                               csrs, n_pad, n_edges, backend)
 
 
-def _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
+def _gate_front_forward(b1h, b2h, e, w3, bias3, src_ids, dst_ids, csrs,
                         n_pad, n_edges, backend):
     backend = backend or default_backend()
     by_src, by_dst = csrs
@@ -663,11 +666,12 @@ def _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
         from gnnome_tpu.ops.spmm_pallas import gate_front_pallas
 
         return gate_front_pallas(
-            b1h, b2h, b3e, src_ids, dst_ids,
+            b1h, b2h, e, w3, bias3, src_ids, dst_ids,
             by_src.key_plan, by_dst.key_plan, n_edges,
             interpret=(backend == "pallas_interpret"),
         )
     # XLA composition (CPU/tests): identical op order to the unfused path
+    b3e = jnp.dot(e, w3, preferred_element_type=e.dtype) + bias3
     gate = (
         jnp.take(b1h, src_ids, axis=0)
         + jnp.take(b2h, dst_ids, axis=0)
@@ -680,29 +684,36 @@ def _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
     return gate, mom
 
 
-def _gate_front_fwd(b1h, b2h, b3e, src_ids, dst_ids, csrs,
+def _gate_front_fwd(b1h, b2h, e, w3, bias3, src_ids, dst_ids, csrs,
                     n_pad, n_edges, backend):
-    gate, mom = _gate_front_forward(b1h, b2h, b3e, src_ids, dst_ids, csrs,
-                                    n_pad, n_edges, backend)
+    gate, mom = _gate_front_forward(b1h, b2h, e, w3, bias3, src_ids,
+                                    dst_ids, csrs, n_pad, n_edges, backend)
     protos = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((0,), x.dtype), (b1h, b2h, b3e)
+        lambda x: jnp.zeros((0,), x.dtype), (b1h, b2h, bias3)
     )
-    return (gate, mom), (gate, csrs, protos)
+    return (gate, mom), (gate, e, w3, csrs, protos)
 
 
 def _gate_front_bwd(n_pad, n_edges, backend, res, cot):
-    gate, (by_src, by_dst), (p1, p2, p3) = res
+    gate, e, w3, (by_src, by_dst), (p1, p2, p3) = res
     d_gate, d_mom = cot
     mask = (jnp.arange(gate.shape[0]) < n_edges)[:, None]
     # moments chain: d(Σg)/dg = 1, d(Σg²)/dg = 2g — on real edges only
-    d_total = d_gate.astype(jnp.float32) + jnp.where(
+    d_total32 = d_gate.astype(jnp.float32) + jnp.where(
         mask, d_mom[0] + 2.0 * gate.astype(jnp.float32) * d_mom[1], 0.0
     )
-    d_total = d_total.astype(p3.dtype)
+    d_total = d_total32.astype(e.dtype)
     d_b1h = segment_sum_csr(d_total, by_src, n_pad, backend=backend)
     d_b2h = segment_sum_csr(d_total, by_dst, n_pad, backend=backend)
-    return (d_b1h.astype(p1.dtype), d_b2h.astype(p2.dtype), d_total,
-            None, None, None)
+    # B3 chain: ordinary dense grads (the matmuls XLA autodiff would emit)
+    d_e = jnp.dot(d_total, w3.T, preferred_element_type=e.dtype)
+    # f32 accumulation over the 1M-edge contraction without upcasting the
+    # [E, D] operands in HBM (preferred_element_type drives the MXU output)
+    d_w3 = jnp.dot(e.T, d_total,
+                   preferred_element_type=jnp.float32).astype(w3.dtype)
+    d_bias3 = jnp.sum(d_total32, axis=0).astype(p3.dtype)
+    return (d_b1h.astype(p1.dtype), d_b2h.astype(p2.dtype), d_e, d_w3,
+            d_bias3, None, None, None)
 
 
 fused_gate_front.defvjp(_gate_front_fwd, _gate_front_bwd)

@@ -708,10 +708,12 @@ def _gate_front_kernel(
     w0d_ref,  # SMEM int32[S * 2]  dst-plan window starts (scalar prefetch)
     ids_s_ref,  # VMEM int32[8, LANE] block: clamped src ids
     ids_d_ref,  # VMEM int32[8, LANE] block: clamped dst ids
-    b3e_ref,  # VMEM [CHUNK, D] block: B3·e edge contribution
+    e_ref,  # VMEM [CHUNK, D] block: edge state (B3 applied IN-kernel)
+    w3_ref,  # VMEM [D, D]: B3 weight
+    bias3_ref,  # VMEM [1, D]: B3 bias
     b1h_hbm,  # ANY [N, D] node table gathered by src
     b2h_hbm,  # ANY [N, D] node table gathered by dst
-    gate_ref,  # VMEM [CHUNK, D] block out: b1h[src] + b2h[dst] + b3e
+    gate_ref,  # VMEM [CHUNK, D] block out: b1h[src] + b2h[dst] + e·W3 + b3
     mom_ref,  # VMEM f32[8, D] out (rows 0/1 = Σ gate, Σ gate²; same block
     #           every grid step — the sequential TPU grid accumulates)
     win1_buf,  # VMEM [nslots, 2, wr_s, D]
@@ -760,7 +762,17 @@ def _gate_front_kernel(
                 window_dma(slot, g, wi, ti).wait()
         ids_s = ids_s_ref[r : r + 1, :]  # [1, LANE]
         ids_d = ids_d_ref[r : r + 1, :]
-        acc = b3e_ref[r * LANE : (r + 1) * LANE, :].astype(jnp.float32)
+        # B3 projection on the MXU, matching the XLA linear()'s numerics:
+        # output rounded to the edge dtype (preferred_element_type), bias
+        # added after. f32 inputs need HIGHEST or Mosaic truncates to bf16.
+        e_tile = e_ref[r * LANE : (r + 1) * LANE, :]
+        prec = (None if e_tile.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        proj = jax.lax.dot_general(
+            e_tile, w3_ref[...], (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=e_tile.dtype,
+        )
+        acc = (proj + bias3_ref[...]).astype(jnp.float32)
         for wi in range(2):
             oh_s = (iota_s + w0s_ref[2 * g + wi] == ids_s)
             acc = acc + _select_matmul(
@@ -794,7 +806,9 @@ def _gate_front_kernel(
 def gate_front_pallas(
     b1h: jax.Array,  # [N_pad, D] src-side node table
     b2h: jax.Array,  # [N_pad, D] dst-side node table
-    b3e: jax.Array,  # [E_pad, D] edge-side contribution
+    e: jax.Array,  # [E_pad, D] edge state (B3 projection runs IN-kernel)
+    w3: jax.Array,  # [D, D] B3 weight (edge dtype)
+    bias3: jax.Array,  # [D] B3 bias (edge dtype)
     src_ids: jax.Array,  # int32[E_pad] clamped (pads = 0), canonical order
     dst_ids: jax.Array,  # int32[E_pad] clamped, canonical order
     src_plan,  # BandPlan over src_ids (CSR.key_plan of by_src)
@@ -802,13 +816,15 @@ def gate_front_pallas(
     n_edges: int,  # real edge count (static; moments mask)
     interpret: bool = False,
 ):
-    """(gate, mom): ``gate = b1h[src] + b2h[dst] + b3e`` and
+    """(gate, mom): ``gate = b1h[src] + b2h[dst] + (e·W3 + b3)`` and
     ``mom = [Σ gate·mask ‖ Σ gate²·mask]`` (f32[2, D], mask = real edges) in
     ONE pass — the SDDMM gate construction plus the BatchNorm statistics
-    reduction, without materializing either endpoint-gathered table.
+    reduction, without materializing either endpoint-gathered table OR the
+    projected b3e (the [E, D]×[D, D] matmul runs on the MXU per tile,
+    saving b3e's HBM write + read per forward execution).
 
-    Replaces, per layer: two banded gathers (write [E,D] each), the XLA
-    add-chain (re-reads both + b3e, writes gate), and the separate
+    Replaces, per layer: two banded gathers (write [E,D] each), the B3
+    linear's round-trip, the XLA add-chain, and the separate
     ``masked_moments`` read — the round-2 mega-fusion lever
     (PERFORMANCE.md "1M-edge profile"). Reference math unchanged:
     ``layers/gated_gcn_full.py:120-127``.
@@ -821,7 +837,9 @@ def gate_front_pallas(
         d_pad = ((d + LANE - 1) // LANE) * LANE
         padc = ((0, 0), (0, d_pad - d))
         gate, mom = gate_front_pallas(
-            jnp.pad(b1h, padc), jnp.pad(b2h, padc), jnp.pad(b3e, padc),
+            jnp.pad(b1h, padc), jnp.pad(b2h, padc), jnp.pad(e, padc),
+            jnp.pad(w3, ((0, d_pad - d), (0, d_pad - d))),
+            jnp.pad(bias3, (0, d_pad - d)),
             src_ids, dst_ids, src_plan, dst_plan, n_edges, interpret)
         return gate[:, :d], mom[:, :d]
     per_slot = 2 * (src_plan.wr + dst_plan.wr) * d * b1h.dtype.itemsize
@@ -843,6 +861,8 @@ def gate_front_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3, whole array
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias3, whole array
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -862,20 +882,21 @@ def gate_front_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((e_pad, d), b3e.dtype),
+            jax.ShapeDtypeStruct((e_pad, d), e.dtype),
             jax.ShapeDtypeStruct((8, d), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * 2 * (src_plan.wr + dst_plan.wr) * d,
+            flops=2 * e_pad * 2 * (src_plan.wr + dst_plan.wr) * d
+            + 2 * e_pad * d * d,
             bytes_accessed=(e_pad // LANE) * 2 * (src_plan.wr + dst_plan.wr)
             * d * b1h.dtype.itemsize
-            + 2 * e_pad * d * b3e.dtype.itemsize + 2 * e_pad * 4,
+            + 2 * e_pad * d * e.dtype.itemsize + 2 * e_pad * 4,
             transcendentals=0,
         ),
     )(src_plan.w0.reshape(-1), dst_plan.w0.reshape(-1),
       src_ids.reshape(total_subrows, LANE), dst_ids.reshape(total_subrows, LANE),
-      b3e, b1h, b2h)
+      e, w3, bias3.reshape(1, -1), b1h, b2h)
     return gate, mom[:2]
 
 

@@ -110,3 +110,51 @@ def test_no_scatter_in_train_step_hlo(rng):
 
     hlo = jax.jit(jax.grad(loss)).lower(params).as_text()
     assert "scatter" not in hlo.lower(), "XLA scatter leaked into the backward pass"
+
+
+def test_narrow_path_backend_grad_parity(rng):
+    """Full model loss AND gradients agree between the xla lowering and the
+    pallas kernels (interpret) on the narrow batch-norm path — this drives
+    the whole fused dispatch chain: gate-front (in-kernel B3 projection +
+    dual banded gathers + BN moments), the gather-fused gate epilog, and
+    the mega-fused opposite aggregation."""
+    from gnnome_tpu.config import ModelConfig
+    from gnnome_tpu.evaluation.metrics import bce_with_logits
+    from gnnome_tpu.models.model import init_model_params, model_forward
+    from gnnome_tpu.ops.segment import (
+        epilog_gather_supported,
+        gate_front_supported,
+        opposite_gather_supported,
+    )
+
+    cfg = ModelConfig(num_gnn_layers=2, hidden_features=128,
+                      hidden_edge_features=8, hidden_edge_scores=16,
+                      nb_pos_enc=8)
+    src = rng.integers(0, 80, 500).astype(np.int32)
+    dst = rng.integers(0, 80, 500).astype(np.int32)
+    g = build_graph(src, dst, 80)
+    # the fixture must actually engage the fused kernels
+    assert gate_front_supported(g, "pallas_interpret")
+    assert epilog_gather_supported(g, 128, 4, "pallas_interpret")
+    assert opposite_gather_supported(g.by_src, "pallas_interpret")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    e_feat = prepare_edge_features(
+        g, rng.standard_normal((500, 2)).astype(np.float32))
+    pe = jnp.asarray(pad_features(
+        rng.standard_normal((80, cfg.nb_pos_enc + 2)).astype(np.float32),
+        g.n_nodes_padded))
+    y = prepare_edge_features(
+        g, (rng.random(500) < 0.3).astype(np.float32))
+
+    def loss(p, backend):
+        logits = model_forward(p, g, e_feat, pe, batch_norm=True,
+                               backend=backend)
+        return bce_with_logits(logits, y, g.edge_mask, 1.0)
+
+    l_x, g_x = jax.value_and_grad(loss)(params, "xla")
+    l_p, g_p = jax.value_and_grad(loss)(params, "pallas_interpret")
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
