@@ -178,8 +178,16 @@ def main() -> None:
     vs = 1.0
     if on_tpu and os.environ.get("BENCH_COMPARE", "1") != "0":
         # The XLA scatter-add path (DGL-equivalent lowering) compiles
-        # pathologically slowly at full scale; compare at a capped size.
-        if e_real > 250_000:
+        # pathologically slowly at full scale; compare at a capped size
+        # unless BENCH_COMPARE_FULL=1 accepts the compile wait and runs
+        # the same-scale, same-remat ratio.
+        if os.environ.get("BENCH_COMPARE_FULL", "0") == "1":
+            eps_pg = bench("pallas", graph, e_feat, pe, y, e_real,
+                           remat_mode="group")
+            eps_xg = bench("xla", graph, e_feat, pe, y, e_real,
+                           remat_mode="group")
+            vs = eps_pg / eps_xg
+        elif e_real > 250_000:
             g2, e2 = build_bench_graph(30_000, 200_000)
             rng2 = np.random.default_rng(2)
             from gnnome_tpu.core.graph import pad_features as _pf

@@ -446,20 +446,38 @@ def _fused_opp_fwd(values, gate_pre, csr, by_opp, num_segments, backend):
 def _fused_opp_bwd(num_segments, backend, res, g):
     values, gate_pre, csr, by_opp = res
     d = gate_pre.shape[-1]
-    # recompute both banded gathers (cheaper than [E, D] residuals)
-    e_s = take_rows(gate_pre, csr.order, csr.order_plan, backend)
-    v_s = take_rows(values, csr.opp_ids, csr.opp_plan, backend)
-    valid = csr.segment_ids < num_segments
-    gc = take_rows(g.astype(gate_pre.dtype), csr.segment_ids,
-                   csr.expand_plan, backend, masked=True)
-    g1 = gc[:, :d].astype(jnp.float32)
-    g2 = gc[:, d:].astype(jnp.float32)
-    sig = jax.nn.sigmoid(e_s.astype(jnp.float32))
-    dsig = sig * (1.0 - sig)
-    grad_e_s = (g1 * v_s.astype(jnp.float32) + g2) * dsig
-    grad_v_s = g1 * sig
-    grad_e_s = jnp.where(valid[:, None], grad_e_s, 0.0).astype(gate_pre.dtype)
-    grad_v_s = jnp.where(valid[:, None], grad_v_s, 0.0).astype(values.dtype)
+    pallas = backend in ("pallas", "pallas_interpret") or (
+        backend is None and default_backend() == "pallas")
+    if pallas and d % 128 == 0 \
+            and csr.order_plan is not None and csr.order_plan.ok \
+            and csr.opp_plan is not None and csr.opp_plan.ok \
+            and csr.expand_plan is not None and csr.expand_plan.ok:
+        from gnnome_tpu.ops.spmm_pallas import opp_bwd_pallas
+
+        # one pass: all three gathers in-kernel; PAD segments select no gc
+        # row, so both grads are already zero on padding
+        grad_e_s, grad_v_s = opp_bwd_pallas(
+            gate_pre, values, g.astype(gate_pre.dtype),
+            csr.segment_ids, csr.order, csr.opp_ids,
+            csr.order_plan, csr.opp_plan, csr.expand_plan,
+            (gate_pre.dtype, values.dtype),
+            interpret=(backend == "pallas_interpret"),
+        )
+    else:
+        # recompute both banded gathers (cheaper than [E, D] residuals)
+        e_s = take_rows(gate_pre, csr.order, csr.order_plan, backend)
+        v_s = take_rows(values, csr.opp_ids, csr.opp_plan, backend)
+        valid = csr.segment_ids < num_segments
+        gc = take_rows(g.astype(gate_pre.dtype), csr.segment_ids,
+                       csr.expand_plan, backend, masked=True)
+        g1 = gc[:, :d].astype(jnp.float32)
+        g2 = gc[:, d:].astype(jnp.float32)
+        sig = jax.nn.sigmoid(e_s.astype(jnp.float32))
+        dsig = sig * (1.0 - sig)
+        grad_e_s = (g1 * v_s.astype(jnp.float32) + g2) * dsig
+        grad_v_s = g1 * sig
+        grad_e_s = jnp.where(valid[:, None], grad_e_s, 0.0).astype(gate_pre.dtype)
+        grad_v_s = jnp.where(valid[:, None], grad_v_s, 0.0).astype(values.dtype)
     # sorted -> canonical is a banded gather; then the transpose reduction
     d_gate_pre = take_rows(grad_e_s, csr.inv_order, csr.inv_plan, backend)
     grad_v_canon = take_rows(grad_v_s, csr.inv_order, csr.inv_plan, backend)
@@ -572,15 +590,36 @@ def _fused_gate_gather_forward(gate_raw, e_in, values, affine, keys, csr,
 
 def _fused_gate_gather_fwd(gate_raw, e_in, values, affine, keys, csr, by_src,
                            num_segments, backend):
-    out = _fused_gate_gather_forward(gate_raw, e_in, values, affine, keys,
-                                     csr, by_src, num_segments, backend)
-    return out, (gate_raw, e_in, values, affine, keys, csr.key_plan, by_src)
+    sums, e_new = _fused_gate_gather_forward(
+        gate_raw, e_in, values, affine, keys, csr, by_src, num_segments,
+        backend)
+    # e_new is saved instead of e_in: it is the layer's own output (an
+    # alias, no extra residency) and the bwd needs σ(e_new) anyway
+    return (sums, e_new), (gate_raw, e_new, values, affine, keys,
+                           csr.key_plan, by_src)
 
 
 def _fused_gate_gather_bwd(num_segments, backend, res, cot):
-    gate_raw, e_in, values, affine, (key, src_ids), key_plan, by_src = res
+    gate_raw, e_new, values, affine, (key, src_ids), key_plan, by_src = res
     g_sums, g_enew = cot
     d = gate_raw.shape[-1]
+    pallas = backend in ("pallas", "pallas_interpret") or (
+        backend is None and default_backend() == "pallas")
+    if pallas and d % 128 == 0 and key_plan is not None and key_plan.ok \
+            and by_src.key_plan is not None and by_src.key_plan.ok:
+        from gnnome_tpu.ops.spmm_pallas import epilog_bwd_pallas
+
+        d_gate_raw, d_e_in, d_vals, daff = epilog_bwd_pallas(
+            gate_raw, e_new, g_enew, g_sums.astype(gate_raw.dtype),
+            values, affine.astype(jnp.float32), key, src_ids,
+            key_plan, by_src.key_plan,
+            interpret=(backend == "pallas_interpret"),
+        )
+        d_values = segment_sum_csr(d_vals, by_src, values.shape[0],
+                                   backend=backend).astype(values.dtype)
+        return (d_gate_raw, d_e_in.astype(e_new.dtype), d_values,
+                daff.astype(affine.dtype), None, None, None)
+
     gc = take_rows(g_sums.astype(gate_raw.dtype), key, key_plan, backend,
                    masked=True)
     g1 = gc[:, :d].astype(jnp.float32)
@@ -592,14 +631,13 @@ def _fused_gate_gather_bwd(num_segments, backend, res, cot):
     graw = gate_raw.astype(jnp.float32)
     pre = graw * affine[0] + affine[1]
     relu_mask = (pre > 0).astype(jnp.float32)
-    e_new = jnp.maximum(pre, 0.0) + e_in.astype(jnp.float32)
-    sig = jax.nn.sigmoid(e_new)
+    sig = jax.nn.sigmoid(e_new.astype(jnp.float32))
     dsig = sig * (1.0 - sig)
 
     d_enew = g_enew.astype(jnp.float32) + (g1 * vals.astype(jnp.float32) + g2) * dsig
     d_pre = d_enew * relu_mask
     d_gate_raw = (d_pre * affine[0]).astype(gate_raw.dtype)
-    d_e_in = d_enew.astype(e_in.dtype)
+    d_e_in = d_enew.astype(e_new.dtype)
     d_vals = (g1 * sig).astype(values.dtype)
     d_values = segment_sum_csr(d_vals, by_src, values.shape[0],
                                backend=backend).astype(values.dtype)

@@ -484,6 +484,371 @@ def _fused_gate_kernel(
 
 
 # ---------------------------------------------------------------------------
+# fused BACKWARD kernels: cotangent gathers + the elementwise chain in one
+# pass — the gathered cotangent/value tables never exist in HBM
+# ---------------------------------------------------------------------------
+
+
+def _epilog_bwd_kernel(
+    w0g_ref,  # SMEM int32[S * 2] g_sums-gather window starts (dst plan)
+    w0v_ref,  # SMEM int32[S * 2] vals-gather window starts (src plan)
+    affine_ref,  # VMEM [2, D]
+    key_ids_ref,  # VMEM int32[8, LANE] block: dst ids (PAD on padding)
+    vids_ref,  # VMEM int32[8, LANE] block: clamped src ids
+    graw_ref,  # VMEM [CHUNK, D] block: raw gate (canonical order)
+    enew_ref,  # VMEM [CHUNK, D] block: e_new (saved fwd output)
+    genew_ref,  # VMEM [CHUNK, D] block: cotangent of e_new
+    gsums_hbm,  # ANY [N, 2D] cotangent of sums (compute dtype)
+    vtab_hbm,  # ANY [N, D] neighbor-value node table
+    dgraw_ref,  # VMEM [CHUNK, D] block out: d gate_raw
+    denew_ref,  # VMEM [CHUNK, D] block out: d e_in (= d e_new total)
+    dvals_ref,  # VMEM [CHUNK, D] block out: d vals (canonical order)
+    daff_ref,  # VMEM f32[8, D] out rows 0/1 = d_scale2, d_bias2 (same
+    #            block every grid step — sequential grid accumulates)
+    wing_buf,  # VMEM [nslots, 2, wr_g, 2D]
+    winv_buf,  # VMEM [nslots, 2, wr_v, D]
+    sems,  # DMA sems [nslots, 2, 2]
+    *,
+    wr_g: int,
+    wr_v: int,
+    feat_dim: int,
+    total_subrows: int,
+    nslots: int,
+):
+    """Backward of the gather-fused gate epilog in ONE pass per edge chunk:
+    the [E, 2D] gathered sums-cotangent and the [E, D] regathered neighbor
+    values are selected from banded VMEM windows in-kernel, the σ′/relu
+    chain runs on the tiles, and the three [E, D] output cotangents are the
+    only full-edge HBM writes (the XLA composition pays ~6 more passes)."""
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    c = pl.program_id(0)
+    scale2 = affine_ref[0:1, :].astype(jnp.float32)
+
+    def window_dma(slot, g, wi, ti):
+        w0 = w0g_ref if ti == 0 else w0v_ref
+        buf = wing_buf if ti == 0 else winv_buf
+        hbm = gsums_hbm if ti == 0 else vtab_hbm
+        wr = wr_g if ti == 0 else wr_v
+        start = pl.multiple_of(w0[2 * g + wi], 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, wr), :], buf.at[slot, wi],
+            sems.at[slot, wi, ti],
+        )
+
+    @pl.when(c == 0)
+    def _():
+        for g0 in range(min(nslots, total_subrows)):
+            for wi in range(2):
+                for ti in range(2):
+                    window_dma(g0 % nslots, g0, wi, ti).start()
+        daff_ref[:] = jnp.zeros_like(daff_ref)
+
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (wr_g, 1), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
+    a_scale = jnp.zeros((1, feat_dim), jnp.float32)
+    a_bias = jnp.zeros((1, feat_dim), jnp.float32)
+    for r in range(SUBCHUNKS):
+        g = c * SUBCHUNKS + r
+        slot = g % nslots
+        for wi in range(2):
+            for ti in range(2):
+                window_dma(slot, g, wi, ti).wait()
+        key_row = key_ids_ref[r : r + 1, :]  # [1, LANE] (PAD on padding)
+        vid_row = vids_ref[r : r + 1, :]
+        gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
+        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        for wi in range(2):
+            sel_g = (iota_g + w0g_ref[2 * g + wi] == key_row)
+            gc = gc + _select_matmul(
+                sel_g.astype(jnp.bfloat16), wing_buf[slot, wi])
+            sel_v = (iota_v + w0v_ref[2 * g + wi] == vid_row)
+            v_rows = v_rows + _select_matmul(
+                sel_v.astype(jnp.bfloat16), winv_buf[slot, wi])
+        g1 = gc[:, :feat_dim]
+        g2 = gc[:, feat_dim:]
+        sl = slice(r * LANE, (r + 1) * LANE)
+        graw = graw_ref[sl, :].astype(jnp.float32)
+        e_new = enew_ref[sl, :].astype(jnp.float32)
+        sig = jax.nn.sigmoid(e_new)
+        dsig = sig * (1.0 - sig)
+        pre = graw * scale2 + affine_ref[1:2, :].astype(jnp.float32)
+        relu_mask = (pre > 0).astype(jnp.float32)
+        d_enew = genew_ref[sl, :].astype(jnp.float32) + (g1 * v_rows + g2) * dsig
+        d_pre = d_enew * relu_mask
+        dgraw_ref[sl, :] = (d_pre * scale2).astype(dgraw_ref.dtype)
+        denew_ref[sl, :] = d_enew.astype(denew_ref.dtype)
+        dvals_ref[sl, :] = (g1 * sig).astype(dvals_ref.dtype)
+        a_scale = a_scale + jnp.sum(d_pre * graw, axis=0, keepdims=True)
+        a_bias = a_bias + jnp.sum(d_pre, axis=0, keepdims=True)
+
+        @pl.when(g + nslots < total_subrows)
+        def _():
+            for wi in range(2):
+                for ti in range(2):
+                    window_dma(slot, g + nslots, wi, ti).start()
+
+    daff_ref[0:1, :] += a_scale
+    daff_ref[1:2, :] += a_bias
+
+
+def epilog_bwd_pallas(
+    gate_raw: jax.Array,  # [E, D] canonical order
+    e_new: jax.Array,  # [E, D] saved forward output
+    g_enew: jax.Array,  # [E, D] e_new cotangent
+    g_sums: jax.Array,  # [N, 2D] sums cotangent (compute dtype)
+    values_table: jax.Array,  # [N, D]
+    affine: jax.Array,  # [2, D] f32
+    key_ids: jax.Array,  # int32[E] dst ids (PAD on padding)
+    value_ids: jax.Array,  # int32[E] clamped src ids
+    key_plan,  # BandPlan over clamped dst ids (rows of g_sums)
+    value_plan,  # BandPlan over clamped src ids (rows of values_table)
+    interpret: bool = False,
+):
+    """(d_gate_raw, d_enew_total, d_vals, d_affine[2, D] f32): the entire
+    epilog backward elementwise chain with BOTH cotangent gathers fused."""
+    e_pad, d = gate_raw.shape
+    assert e_pad % CHUNK_EDGES == 0 and d % LANE == 0
+    assert key_plan.ok and value_plan.ok
+    per_slot = 2 * (2 * key_plan.wr + value_plan.wr) * d * 2  # bf16-ish
+    nslots = int(max(2, min(8, 5_000_000 // max(per_slot, 1))))
+    total_subrows = e_pad // LANE
+    nchunks = e_pad // CHUNK_EDGES
+
+    kernel = functools.partial(
+        _epilog_bwd_kernel, wr_g=key_plan.wr, wr_v=value_plan.wr,
+        feat_dim=d, total_subrows=total_subrows, nslots=nslots,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # affine
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # g_sums
+            pl.BlockSpec(memory_space=pl.ANY),  # values table
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 2, key_plan.wr, 2 * d), g_sums.dtype),
+            pltpu.VMEM((nslots, 2, value_plan.wr, d), values_table.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 2, 2)),
+        ],
+    )
+    dgraw, denew, dvals, daff = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, d), gate_raw.dtype),
+            jax.ShapeDtypeStruct((e_pad, d), e_new.dtype),
+            jax.ShapeDtypeStruct((e_pad, d), values_table.dtype),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * 2 * (2 * key_plan.wr + value_plan.wr) * d,
+            bytes_accessed=(e_pad // LANE) * 2
+            * (2 * key_plan.wr * g_sums.dtype.itemsize
+               + value_plan.wr * values_table.dtype.itemsize) * d
+            + 6 * e_pad * d * 2 + 2 * e_pad * 4,
+            transcendentals=e_pad * d,
+        ),
+    )(key_plan.w0.reshape(-1), value_plan.w0.reshape(-1), affine,
+      key_ids.reshape(total_subrows, LANE),
+      value_ids.reshape(total_subrows, LANE),
+      gate_raw, e_new, g_enew, g_sums, values_table)
+    return dgraw, denew, dvals, daff[:2]
+
+
+def _opp_bwd_kernel(
+    w0e_ref,  # SMEM int32[S * 2] order-plan window starts (e_new, E-table)
+    w0v_ref,  # SMEM int32[S * 2] opp-plan window starts (values, N-table)
+    w0g_ref,  # SMEM int32[S * 2] expand-plan window starts (g, N-table)
+    ids_ref,  # VMEM int32[8, LANE] block: sorted segment ids (PAD on pads)
+    eids_ref,  # VMEM int32[8, LANE] block: order ids
+    vids_ref,  # VMEM int32[8, LANE] block: clamped opposite ids
+    enew_hbm,  # ANY [E, D] edge state, canonical order
+    vtab_hbm,  # ANY [N, D] neighbor-value node table
+    gsum_hbm,  # ANY [N, 2D] sums cotangent (compute dtype)
+    dge_ref,  # VMEM [CHUNK, D] block out: grad wrt sorted gate
+    dgv_ref,  # VMEM [CHUNK, D] block out: grad wrt sorted values rows
+    wine_buf,  # VMEM [nslots, 2, wr_e, D]
+    winv_buf,  # VMEM [nslots, 2, wr_v, D]
+    wing_buf,  # VMEM [nslots, 2, wr_g, 2D]
+    sems,  # DMA sems [nslots, 2, 3]
+    *,
+    wr_e: int,
+    wr_v: int,
+    wr_g: int,
+    feat_dim: int,
+    total_subrows: int,
+    nslots: int,
+):
+    """Backward of the mega-fused opposite aggregation in ONE pass per
+    sorted edge chunk: all three gathers (order-gathered gate, opposite
+    values, segment-keyed sums cotangent) are selected from banded VMEM
+    windows in-kernel; only the two [E, D] grads are written to HBM."""
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    c = pl.program_id(0)
+
+    def window_dma(slot, g, wi, ti):
+        w0 = (w0e_ref, w0v_ref, w0g_ref)[ti]
+        buf = (wine_buf, winv_buf, wing_buf)[ti]
+        hbm = (enew_hbm, vtab_hbm, gsum_hbm)[ti]
+        wr = (wr_e, wr_v, wr_g)[ti]
+        start = pl.multiple_of(w0[2 * g + wi], 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, wr), :], buf.at[slot, wi],
+            sems.at[slot, wi, ti],
+        )
+
+    @pl.when(c == 0)
+    def _():
+        for g0 in range(min(nslots, total_subrows)):
+            for wi in range(2):
+                for ti in range(3):
+                    window_dma(g0 % nslots, g0, wi, ti).start()
+
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (wr_e, 1), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (wr_g, 1), 0)
+    for r in range(SUBCHUNKS):
+        g = c * SUBCHUNKS + r
+        slot = g % nslots
+        for wi in range(2):
+            for ti in range(3):
+                window_dma(slot, g, wi, ti).wait()
+        ids_row = ids_ref[r : r + 1, :]
+        eids_row = eids_ref[r : r + 1, :]
+        vids_row = vids_ref[r : r + 1, :]
+        e_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
+        for wi in range(2):
+            sel_e = (iota_e + w0e_ref[2 * g + wi] == eids_row)
+            e_rows = e_rows + _select_matmul(
+                sel_e.astype(jnp.bfloat16), wine_buf[slot, wi])
+            sel_v = (iota_v + w0v_ref[2 * g + wi] == vids_row)
+            v_rows = v_rows + _select_matmul(
+                sel_v.astype(jnp.bfloat16), winv_buf[slot, wi])
+            sel_g = (iota_g + w0g_ref[2 * g + wi] == ids_row)
+            gc = gc + _select_matmul(
+                sel_g.astype(jnp.bfloat16), wing_buf[slot, wi])
+        g1 = gc[:, :feat_dim]
+        g2 = gc[:, feat_dim:]
+        sig = jax.nn.sigmoid(e_rows)
+        dsig = sig * (1.0 - sig)
+        sl = slice(r * LANE, (r + 1) * LANE)
+        dge_ref[sl, :] = ((g1 * v_rows + g2) * dsig).astype(dge_ref.dtype)
+        dgv_ref[sl, :] = (g1 * sig).astype(dgv_ref.dtype)
+
+        @pl.when(g + nslots < total_subrows)
+        def _():
+            for wi in range(2):
+                for ti in range(3):
+                    window_dma(slot, g + nslots, wi, ti).start()
+
+
+def opp_bwd_pallas(
+    e_new: jax.Array,  # [E, D] canonical order
+    values_table: jax.Array,  # [N, D]
+    g_sums: jax.Array,  # [N, 2D] cotangent (compute dtype)
+    segment_ids_sorted: jax.Array,  # int32[E] (PAD on pads)
+    order_ids: jax.Array,  # int32[E]
+    opp_ids: jax.Array,  # int32[E] clamped
+    order_plan,
+    opp_plan,
+    expand_plan,
+    out_dtypes,  # (gate dtype, values dtype)
+    interpret: bool = False,
+):
+    """(grad_e_sorted, grad_v_sorted): the opposite-aggregation backward
+    with all three gathers fused (see ``_opp_bwd_kernel``)."""
+    e_pad = segment_ids_sorted.shape[0]
+    d = e_new.shape[-1]
+    assert e_pad % CHUNK_EDGES == 0 and d % LANE == 0
+    assert order_plan.ok and opp_plan.ok and expand_plan.ok
+    per_slot = 2 * (order_plan.wr + opp_plan.wr + 2 * expand_plan.wr) * d * 2
+    nslots = int(max(2, min(8, 5_000_000 // max(per_slot, 1))))
+    total_subrows = e_pad // LANE
+    nchunks = e_pad // CHUNK_EDGES
+
+    kernel = functools.partial(
+        _opp_bwd_kernel, wr_e=order_plan.wr, wr_v=opp_plan.wr,
+        wr_g=expand_plan.wr, feat_dim=d, total_subrows=total_subrows,
+        nslots=nslots,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 2, order_plan.wr, d), e_new.dtype),
+            pltpu.VMEM((nslots, 2, opp_plan.wr, d), values_table.dtype),
+            pltpu.VMEM((nslots, 2, expand_plan.wr, 2 * d), g_sums.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, d), out_dtypes[0]),
+            jax.ShapeDtypeStruct((e_pad, d), out_dtypes[1]),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * 2
+            * (order_plan.wr + opp_plan.wr + 2 * expand_plan.wr) * d,
+            bytes_accessed=(e_pad // LANE) * 2
+            * (order_plan.wr + opp_plan.wr + 2 * expand_plan.wr) * d * 2
+            + 2 * e_pad * d * 2 + 3 * e_pad * 4,
+            transcendentals=e_pad * d,
+        ),
+    )(order_plan.w0.reshape(-1), opp_plan.w0.reshape(-1),
+      expand_plan.w0.reshape(-1),
+      segment_ids_sorted.reshape(total_subrows, LANE),
+      order_ids.reshape(total_subrows, LANE),
+      opp_ids.reshape(total_subrows, LANE),
+      e_new, values_table, g_sums)
+
+
+# ---------------------------------------------------------------------------
 # opposite-direction σ-aggregate with BOTH gathers fused: neither the
 # permuted gate nor the gathered neighbor table ever exists in HBM
 # ---------------------------------------------------------------------------
