@@ -39,6 +39,20 @@ def default_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _fusion_level() -> int:
+    """Dispatch ceiling for the fused-kernel suite, from
+    ``GNNOME_FUSION_LEVEL`` (default 3). 3 = everything (mega-fused fwd +
+    fused bwd kernels); 2 = fused fwd, composed bwd; 1 = round-1 kernels
+    only (σ-aggregate + gate-epilog, no banded-window fusions); useful for
+    A/B benching and as a fallback switch on toolchain regressions."""
+    import os
+
+    try:
+        return int(os.environ.get("GNNOME_FUSION_LEVEL", "3"))
+    except ValueError:
+        return 3
+
+
 # ---------------------------------------------------------------------------
 # permutation with gather-only autodiff
 # ---------------------------------------------------------------------------
@@ -296,7 +310,8 @@ def opposite_gather_supported(csr, backend: Optional[str] = None) -> bool:
     the inverse permutation (bwd), and the sorted-key cotangent gather."""
     backend = backend or default_backend()
     return (
-        backend in ("pallas", "pallas_interpret")
+        _fusion_level() >= 2
+        and backend in ("pallas", "pallas_interpret")
         and csr.opp_plan is not None and csr.opp_plan.ok
         and csr.inv_plan is not None and csr.inv_plan.ok
         and csr.expand_plan is not None and csr.expand_plan.ok
@@ -448,7 +463,7 @@ def _fused_opp_bwd(num_segments, backend, res, g):
     d = gate_pre.shape[-1]
     pallas = backend in ("pallas", "pallas_interpret") or (
         backend is None and default_backend() == "pallas")
-    if pallas and d % 128 == 0 \
+    if pallas and _fusion_level() >= 3 and d % 128 == 0 \
             and csr.order_plan is not None and csr.order_plan.ok \
             and csr.opp_plan is not None and csr.opp_plan.ok \
             and csr.expand_plan is not None and csr.expand_plan.ok:
@@ -531,7 +546,8 @@ def epilog_gather_supported(graph, d: int, itemsize: int,
     backend = backend or default_backend()
     plan = graph.by_src.key_plan
     return (
-        backend in ("pallas", "pallas_interpret")
+        _fusion_level() >= 2
+        and backend in ("pallas", "pallas_interpret")
         and plan is not None and plan.ok
         and graph.n_edges_padded % 1024 == 0
         and 2 * 8 * 2 * plan.wr * max(d, 128) * itemsize <= budget_bytes
@@ -605,7 +621,8 @@ def _fused_gate_gather_bwd(num_segments, backend, res, cot):
     d = gate_raw.shape[-1]
     pallas = backend in ("pallas", "pallas_interpret") or (
         backend is None and default_backend() == "pallas")
-    if pallas and d % 128 == 0 and key_plan is not None and key_plan.ok \
+    if pallas and _fusion_level() >= 3 and d % 128 == 0 \
+            and key_plan is not None and key_plan.ok \
             and by_src.key_plan is not None and by_src.key_plan.ok:
         from gnnome_tpu.ops.spmm_pallas import epilog_bwd_pallas
 
@@ -662,7 +679,8 @@ def gate_front_supported(graph, backend: Optional[str] = None) -> bool:
     sp = graph.by_src.key_plan
     dp = graph.by_dst.key_plan
     return (
-        backend in ("pallas", "pallas_interpret")
+        _fusion_level() >= 2
+        and backend in ("pallas", "pallas_interpret")
         and sp is not None and sp.ok
         and dp is not None and dp.ok
         and graph.n_edges_padded % 1024 == 0
