@@ -92,14 +92,22 @@ def synth_genome(length: int, seed: int) -> str:
             d = int(rng.integers(0, length - fam_len))
             base[d : d + fam_len] = diverged(fam, float(rng.uniform(0, 0.005)))
 
-    # tandem arrays: one per ~8 Mb, each with its OWN 2-5 kb unit repeated
-    # 4-8 times. Interiors may collapse across phases (as real satellite
-    # arrays do in any OLC assembler) but the damage is bounded by the
-    # array length — units are never shared across arrays, so no
-    # long-range cross-links form.
+    # tandem arrays: one per ~8 Mb, each with its OWN 2-4 kb unit repeated
+    # 3-4 times, with the array TOTAL capped well below the ~18 kb read
+    # length. The cap is load-bearing: an array longer than a read makes
+    # its interior reads mutually contained, the graph collapses the
+    # phases, a walk can dead-end inside the collapsed interior, and the
+    # oracle's gap-jump fallback (``algorithms.py:97-106``) then teleports
+    # across any repeat cross-link — after which the monotone acceptance
+    # rule (``:160-167``) silently discards the entire skipped region
+    # (observed: 40% of a chr21-scale genome labeled all-negative).
+    # Spanned arrays still yield genuine local tangles without the trap.
     for _ in range(max(1, length // 8_000_000)):
-        unit_len = int(rng.integers(2_000, 5_000))
-        n_copies = int(rng.integers(4, 9))
+        while True:
+            unit_len = int(rng.integers(2_000, 4_000))
+            n_copies = int(rng.integers(3, 5))
+            if unit_len * n_copies <= 12_000:
+                break
         s = int(rng.integers(0, length - n_copies * unit_len))
         unit = base[s : s + unit_len].copy()
         for c in range(1, n_copies):
