@@ -1128,15 +1128,17 @@ def _gate_front_kernel(
         ids_s = ids_s_ref[r : r + 1, :]  # [1, LANE]
         ids_d = ids_d_ref[r : r + 1, :]
         # B3 projection on the MXU, matching the XLA linear()'s numerics:
-        # output rounded to the edge dtype (preferred_element_type), bias
-        # added after. f32 inputs need HIGHEST or Mosaic truncates to bf16.
+        # Mosaic requires a 32-bit accumulator, so ask for f32 and round
+        # the result to the edge dtype ourselves — exactly what XLA's
+        # bf16 dot does. f32 inputs need HIGHEST or Mosaic truncates the
+        # MXU operands to bf16.
         e_tile = e_ref[r * LANE : (r + 1) * LANE, :]
         prec = (None if e_tile.dtype == jnp.bfloat16
                 else jax.lax.Precision.HIGHEST)
         proj = jax.lax.dot_general(
             e_tile, w3_ref[...], (((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=e_tile.dtype,
-        )
+            precision=prec, preferred_element_type=jnp.float32,
+        ).astype(e_tile.dtype)
         acc = (proj + bias3_ref[...]).astype(jnp.float32)
         for wi in range(2):
             oh_s = (iota_s + w0s_ref[2 * g + wi] == ids_s)
