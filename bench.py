@@ -71,10 +71,10 @@ def main() -> None:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("BENCH_ITERS", 10))
     # Best measured defaults (PERFORMANCE.md, round 2): with the banded
-    # gather kernel, NARROW gathers win at every scale (1M: narrow g2
-    # 438k / g4 435k vs wide g2 404k edges/s/chip); wide rows also crash
-    # the AOT compile at g4. Overridable via BENCH_WIDE={0,1,src} /
-    # BENCH_GROUP.
+    # gather kernel, NARROW gathers win at every scale (full fused suite
+    # at 1M: narrow g4 461k edges/s/chip; pre-fused-bwd sweep: narrow g2
+    # 438k / g4 435k vs wide g2 404k); wide rows also crash the AOT
+    # compile at g4. Overridable via BENCH_WIDE={0,1,src} / BENCH_GROUP.
     wide_env = os.environ.get("BENCH_WIDE", "auto")
     wide = {"0": False, "1": True, "auto": False}.get(wide_env, wide_env)
     default_group = 2 if (wide and n_edges > 600_000) else 4
