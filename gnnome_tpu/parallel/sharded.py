@@ -108,6 +108,24 @@ class EdgeShard:
     send_inv_order: jax.Array  # int32 [B, P, P·H]
     send_offsets: jax.Array  # int32 [B, P, N_local + 1]
     send_segment_ids: jax.Array  # int32 [B, P, P·H]
+    # host-planned banded-gather windows (``ops/banded.plan_windows``): one
+    # dual-window row per 128-edge subrow, so the big per-edge gathers run
+    # the windowed-VMEM Pallas kernel instead of XLA's random-row gather
+    # (the same dispatch the single-chip CSRs carry). One STATIC window
+    # width per field, shared by every shard and graph in the batch — the
+    # compiled program must be uniform across shard_map ranks; ``wr == 0``
+    # disables a plan (its w0 then has S == 0) and callers fall back to
+    # ``jnp.take``. Send-buffer gathers stay unplanned (P·H rows ≪ E_b).
+    key_w0: jax.Array  # int32 [B, P, S_e, 2] over clamped key_local
+    ref_w0: jax.Array  # int32 [B, P, S_e, 2] over ref (combined table)
+    ref_order_w0: jax.Array  # int32 [B, P, S_e, 2] over ref_order
+    ref_inv_w0: jax.Array  # int32 [B, P, S_e, 2] over ref_inv_order
+    ref_expand_w0: jax.Array  # int32 [B, P, S_e, 2] over clamped ref_segment_ids
+    key_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ref_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ref_order_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ref_inv_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ref_expand_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -123,7 +141,45 @@ class ShardedBatch:
         return self.node_mask.shape[1]
 
 
-_SHARD_KEYS = tuple(f.name for f in dataclasses.fields(EdgeShard))
+_SHARD_ARRAYS = tuple(
+    f.name for f in dataclasses.fields(EdgeShard)
+    if not f.metadata.get("static")
+)
+_SHARD_STATIC = tuple(
+    f.name for f in dataclasses.fields(EdgeShard)
+    if f.metadata.get("static")
+)
+_PLAN_FIELDS = (  # (w0 field, wr field, runtime dict key)
+    ("key_w0", "key_wr", "_key_plan"),
+    ("ref_w0", "ref_wr", "_ref_plan"),
+    ("ref_order_w0", "ref_order_wr", "_ref_order_plan"),
+    ("ref_inv_w0", "ref_inv_wr", "_ref_inv_plan"),
+    ("ref_expand_w0", "ref_expand_wr", "_ref_expand_plan"),
+)
+
+
+def _plan_rows(ids_rows: np.ndarray, n_rows: int) -> Tuple[np.ndarray, int]:
+    """Banded windows for a [R, L] stack of ids arrays under ONE static
+    window width (max over rows — the pallas dispatch must be uniform
+    across shard_map ranks). Returns (w0 [R, S, 2], wr); wr == 0 when any
+    row lacks a two-window cover (callers then use ``jnp.take``)."""
+    from gnnome_tpu.ops.banded import plan_windows
+
+    plans = [plan_windows(r, n_rows) for r in ids_rows]
+    # disabled plans keep one dummy row (NOT zero-size: XLA forces
+    # zero-size inputs to replicated, clashing with the shard_map spec)
+    none = np.zeros((len(ids_rows), 1, 2), np.int32)
+    if not all(p.ok for p in plans):
+        return none, 0
+    wr = max(p.wr for p in plans)
+    out = []
+    for p, r in zip(plans, ids_rows):
+        if p.wr != wr:
+            p = plan_windows(r, n_rows, widths=(wr,))
+            if not p.ok:
+                return none, 0
+        out.append(np.asarray(p.w0))
+    return np.stack(out).astype(np.int32), wr
 
 
 def _sorted_csr_arrays(keys: np.ndarray, n_rows: int) -> Dict[str, np.ndarray]:
@@ -328,9 +384,34 @@ def prepare_batch(
         pes.append(out)
 
     def stack_shard(dicts: List[Dict[str, np.ndarray]]) -> EdgeShard:
-        return EdgeShard(**{
-            k: np.stack([d[k] for d in dicts]) for k in dicts[0]
-        })
+        d = {k: np.stack([dd[k] for dd in dicts]) for k in dicts[0]}
+        # band plans over the stacked [B, P, E_b] ids (one static wr per
+        # field across the whole batch — see EdgeShard docstring)
+        b, p_sh, e_b = d["key_local"].shape
+        n_loc = d["offsets"].shape[-1] - 1
+        n_comb = d["ref_offsets"].shape[-1] - 1
+
+        def flat(a):
+            return a.reshape(b * p_sh, a.shape[-1]).astype(np.int64)
+
+        def rs4(w0):
+            return w0.reshape(b, p_sh, -1, 2)
+
+        kl = flat(d["key_local"])
+        key_w0, key_wr = _plan_rows(np.where(kl < n_loc, kl, 0), n_loc)
+        ref_w0, ref_wr = _plan_rows(flat(d["ref"]), n_comb)
+        ro_w0, ro_wr = _plan_rows(flat(d["ref_order"]), e_b)
+        ri_w0, ri_wr = _plan_rows(flat(d["ref_inv_order"]), e_b)
+        rsg = flat(d["ref_segment_ids"])
+        re_w0, re_wr = _plan_rows(np.where(rsg < n_comb, rsg, 0), n_comb)
+        return EdgeShard(
+            **d,
+            key_w0=rs4(key_w0), key_wr=key_wr,
+            ref_w0=rs4(ref_w0), ref_wr=ref_wr,
+            ref_order_w0=rs4(ro_w0), ref_order_wr=ro_wr,
+            ref_inv_w0=rs4(ri_w0), ref_inv_wr=ri_wr,
+            ref_expand_w0=rs4(re_w0), ref_expand_wr=re_wr,
+        )
 
     batch = ShardedBatch(
         node_mask=np.stack(node_masks),
@@ -343,28 +424,31 @@ def prepare_batch(
     # data × graph
     node_spec = P(AXIS_DATA, AXIS_GRAPH)
     pe_spec = P(AXIS_DATA, AXIS_GRAPH, None)
-    edge_spec = _edge_specs()
 
     def put(arr, spec):
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
+    def put_shard(sh: EdgeShard) -> EdgeShard:
+        kw = {k: put(getattr(sh, k), P(AXIS_DATA, AXIS_GRAPH))
+              for k in _SHARD_ARRAYS}
+        kw.update({k: getattr(sh, k) for k in _SHARD_STATIC})
+        return EdgeShard(**kw)
+
     return ShardedBatch(
         node_mask=put(batch.node_mask, node_spec),
         pe=put(batch.pe, pe_spec),
-        fwd=EdgeShard(**{
-            k: put(getattr(batch.fwd, k), getattr(edge_spec, k))
-            for k in _SHARD_KEYS
-        }),
-        bwd=EdgeShard(**{
-            k: put(getattr(batch.bwd, k), getattr(edge_spec, k))
-            for k in _SHARD_KEYS
-        }),
+        fwd=put_shard(batch.fwd),
+        bwd=put_shard(batch.bwd),
     )
 
 
-def _edge_specs() -> EdgeShard:
-    # every field shards its leading [B, P] dims; trailing dims replicated
-    return EdgeShard(**{k: P(AXIS_DATA, AXIS_GRAPH) for k in _SHARD_KEYS})
+def _edge_specs_like(shard: EdgeShard) -> EdgeShard:
+    """Spec tree for shard_map: every array shards its leading [B, P]
+    dims (trailing dims replicated); the static wr fields copy the
+    batch's values so the spec treedef matches the argument treedef."""
+    kw = {k: P(AXIS_DATA, AXIS_GRAPH) for k in _SHARD_ARRAYS}
+    kw.update({k: getattr(shard, k) for k in _SHARD_STATIC})
+    return EdgeShard(**kw)
 
 
 def halo_comm_bytes(batch: ShardedBatch, hidden: int = 256,
@@ -434,6 +518,10 @@ def _ref_gather(
         identity=False,
         order=shard["ref_order"], inv_order=shard["ref_inv_order"],
         offsets=shard["ref_offsets"], segment_ids=shard["ref_segment_ids"],
+        key_plan=shard.get("_ref_plan"),
+        order_plan=shard.get("_ref_order_plan"),
+        inv_plan=shard.get("_ref_inv_plan"),
+        expand_plan=shard.get("_ref_expand_plan"),
     )
     return gather_by_endpoint(table, shard["ref"], ref_csr, table.shape[0], backend)
 
@@ -445,20 +533,28 @@ def _key_gather(
 ) -> jax.Array:
     """Per-edge gather of the keyed (locally-owned) endpoint's row; VJP =
     the local identity-CSR segment-sum."""
-    csr = _local_csr(shard["key_local"], shard["offsets"])
+    csr = _local_csr(shard["key_local"], shard["offsets"],
+                     shard.get("_key_plan"))
     # padded edges carry PAD_SEGMENT — clamp the *gather* index to a real
-    # row (their values are dropped by masks/segment-ids downstream)
+    # row (their values are dropped by masks/segment-ids downstream); the
+    # key plan is built over exactly this clamped array
     safe = jnp.where(shard["key_local"] < values.shape[0],
                      shard["key_local"], 0)
     return gather_by_endpoint(values, safe, csr, values.shape[0], backend)
 
 
-def _local_csr(key_local: jax.Array, offsets: jax.Array) -> CSR:
-    """Local identity-order CSR for a shard's (sorted) edge slice."""
+def _local_csr(key_local: jax.Array, offsets: jax.Array, plan=None) -> CSR:
+    """Local identity-order CSR for a shard's (sorted) edge slice.
+
+    ``plan`` (over the clamped key array) serves as both the key plan
+    (forward gathers + fused-op cotangent gathers) and the expand plan
+    (the sorted segment-sum's VJP gather) — for an identity CSR the key
+    array in canonical order IS the sorted segment-id array, exactly as in
+    ``core.graph.build_graph``."""
     e = key_local.shape[0]
     iota = jnp.arange(e, dtype=jnp.int32)
     return CSR(identity=True, order=iota, inv_order=iota, offsets=offsets,
-               segment_ids=key_local)
+               segment_ids=key_local, expand_plan=plan, key_plan=plan)
 
 
 def _apply_bn(x, mean, var, scale, bias, eps=1e-5):
@@ -505,8 +601,8 @@ def _sharded_gated_gcn_layer(
     a3_dst_b = dg[:, d:]
 
     n_local = h_loc.shape[0]
-    csr_f = _local_csr(fwd["key_local"], fwd["offsets"])
-    csr_b = _local_csr(bwd["key_local"], bwd["offsets"])
+    csr_f = _local_csr(fwd["key_local"], fwd["offsets"], fwd.get("_key_plan"))
+    csr_b = _local_csr(bwd["key_local"], bwd["offsets"], bwd.get("_key_plan"))
 
     if batch_norm:
         # stats over the fwd sharding only (each real edge exactly once,
@@ -672,11 +768,23 @@ def make_sharded_loss(
     n_shards = mesh.shape[AXIS_GRAPH]
 
     def shard_fn(params, node_mask, pe, fwd_t, bwd_t, pos_weight):
-        # squeeze the per-shard leading [1(data), 1(graph)] dims
+        from gnnome_tpu.ops.banded import BandPlan
+
+        # squeeze the per-shard leading [1(data), 1(graph)] dims and
+        # reassemble this rank's band plans (static wr, local w0 slice)
         node_mask = node_mask[0]
         pe = pe[0]
-        fwd = {k: getattr(fwd_t, k)[0, 0] for k in _SHARD_KEYS}
-        bwd = {k: getattr(bwd_t, k)[0, 0] for k in _SHARD_KEYS}
+
+        def shard_dict(t: EdgeShard) -> Dict[str, jax.Array]:
+            d = {k: getattr(t, k)[0, 0] for k in _SHARD_ARRAYS}
+            for w0_f, wr_f, key in _PLAN_FIELDS:
+                wr = getattr(t, wr_f)
+                w0 = d.pop(w0_f)
+                d[key] = BandPlan(ok=True, wr=wr, w0=w0) if wr > 0 else None
+            return d
+
+        fwd = shard_dict(fwd_t)
+        bwd = shard_dict(bwd_t)
 
         logits = sharded_forward(
             params, pe, node_mask, fwd, bwd, n_shards,
@@ -697,8 +805,6 @@ def make_sharded_loss(
         loss = jax.lax.pmean(loss, AXIS_DATA)
         return loss[None]
 
-    edge_spec = _edge_specs()
-
     def loss_fn(params, batch: ShardedBatch, pos_weight):
         out = shard_map(
             shard_fn,
@@ -707,8 +813,8 @@ def make_sharded_loss(
                 P(),  # params replicated
                 P(AXIS_DATA, AXIS_GRAPH),  # node_mask
                 P(AXIS_DATA, AXIS_GRAPH, None),  # pe
-                edge_spec,
-                edge_spec,
+                _edge_specs_like(batch.fwd),
+                _edge_specs_like(batch.bwd),
                 P(),
             ),
             out_specs=P(AXIS_DATA),

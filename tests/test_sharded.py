@@ -127,3 +127,66 @@ def test_data_parallel_two_graphs(rng, cfg):
     loss_fn = make_sharded_loss(mesh, batch_norm=cfg.batch_norm)
     got = float(jax.jit(loss_fn)(params, batch, pw))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def make_chain_sample(rng, n=4096, skips=2048, idx=0, nb_pos_enc=8):
+    """Locality-ordered chain + short skip edges: the banded planner finds
+    two-window covers for every per-shard ids array (assembly graphs in
+    pair-aligned BFS order have exactly this structure)."""
+    base = np.arange(n - 1, dtype=np.int32)
+    s = rng.integers(0, n - 16, size=skips).astype(np.int32)
+    src = np.concatenate([base, s])
+    dst = np.concatenate([base + 1, s + rng.integers(2, 16, size=skips).astype(np.int32)])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_graph(src, dst, n)
+    e_real = len(src)
+    e_feat = rng.standard_normal((e_real, 2)).astype(np.float32)
+    pe = rng.standard_normal((n, nb_pos_enc + 2)).astype(np.float32)
+    y = (rng.random(e_real) < 0.3).astype(np.float32)
+    return GraphSample(
+        idx=idx,
+        graph=g,
+        e_feat=prepare_edge_features(g, e_feat),
+        pe=jnp.asarray(pad_features(pe, g.n_nodes_padded)),
+        y=prepare_edge_features(g, y),
+        prefix_length=np.zeros(e_real, np.int64),
+        read_length=np.zeros(n, np.int64),
+        overlap_length=np.zeros(e_real, np.int64),
+        overlap_similarity=np.zeros(e_real, np.float32),
+        src=src,
+        dst=dst,
+    )
+
+
+def test_sharded_band_plans_built_and_exact(rng, cfg):
+    """On a locality-ordered graph the sharded batch carries banded
+    window plans for the per-edge gathers, and the pallas_interpret
+    (TPU-kernel) sharded loss + gradients still match single-device XLA
+    exactly — fwd plans (key/ref) and bwd plans (order/inv/expand) all
+    execute."""
+    mesh = make_mesh(data=1, graph=8)
+    sample = make_chain_sample(rng)
+    batch = prepare_batch([sample], mesh)
+    assert batch.fwd.key_wr > 0, "key plan not built on a chain graph"
+    assert batch.fwd.ref_wr > 0, "ref plan not built on a chain graph"
+    assert batch.fwd.ref_order_wr > 0 and batch.fwd.ref_inv_wr > 0
+    assert batch.fwd.ref_expand_wr > 0
+    assert batch.bwd.key_wr > 0
+
+    params = init_model_params(jax.random.PRNGKey(3), cfg)
+    pw = jnp.float32(1.5)
+
+    def ref_loss(p):
+        return single_device_loss(p, sample, pw, cfg)
+
+    ref_l, ref_grads = jax.value_and_grad(ref_loss)(params)
+
+    loss_fn = make_sharded_loss(mesh, batch_norm=cfg.batch_norm,
+                                backend="pallas_interpret")
+    got_l, got_grads = jax.jit(jax.value_and_grad(loss_fn))(params, batch, pw)
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_grads),
+                    jax.tree_util.tree_leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
