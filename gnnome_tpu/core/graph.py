@@ -28,7 +28,9 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-NODE_PAD_MULTIPLE = 256
+NODE_PAD_MULTIPLE = 512  # lets the fused kernels pick 512-row node blocks
+# (spmm_pallas._pick_block_nodes: larger blocks amortize edge-chunk
+# re-loads at block boundaries; ≤511 wasted node rows is noise)
 # The Pallas segment-sum kernel streams edges in 1024-edge chunks.
 EDGE_PAD_MULTIPLE = 1024
 # Segment id assigned to padded edges: larger than any real node id so the

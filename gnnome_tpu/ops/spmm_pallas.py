@@ -33,10 +33,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_NODES = 128
+BLOCK_NODES = 128  # minimum node-block height (num_segments is % 128)
 LANE = 128
 SUBCHUNKS = 8
 CHUNK_EDGES = SUBCHUNKS * LANE  # 1024 edges per DMA chunk
+
+
+def _pick_block_nodes(num_segments: int, prefer: int) -> int:
+    """Largest node-block height <= ``prefer`` dividing ``num_segments``.
+
+    The edge stream is partitioned by node block; a block whose edge range
+    straddles a 1024-edge DMA chunk re-loads (and re-processes) that
+    chunk. At the assembly graphs' ~6.7 mean degree a 128-node block spans
+    ~0.8 chunks, so nearly EVERY chunk was loaded twice -- measured at 1M
+    edges (v5e): the fused gate-gather pass drops 15.1 -> 10.8 ms at
+    bn=512 even though the one-hot accumulate FLOPs grow 4x, and the plain
+    segment-sum bottoms at bn=256 (4.3 -> 3.7 ms; it has half the accs of
+    the fused kernels and re-rises at 512). NODE_PAD_MULTIPLE is 512 so
+    single-chip graphs always divide; odd multiples (sharded locals,
+    custom pads) degrade gracefully to 256/128."""
+    for bn in (512, 256, 128):
+        if bn <= prefer and num_segments % bn == 0:
+            return bn
+    return BLOCK_NODES
+
 
 
 
@@ -133,7 +153,7 @@ def _forward(
         out = _forward(data_sorted, segment_ids_sorted, offsets,
                        num_segments, interpret)
         return out[:, :d]
-    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    bn, ch = _pick_block_nodes(num_segments, 256), CHUNK_EDGES
     assert e_pad % ch == 0, f"edge count {e_pad} not a multiple of {ch}"
     assert num_segments % bn == 0, (
         f"node count {num_segments} not a multiple of {bn}"
@@ -324,7 +344,7 @@ def fused_sigma_aggregate_pallas(
     wrap it (see ops.segment.fused_sigma_aggregate).
     """
     e_pad, d = e_sorted.shape
-    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    bn, ch = _pick_block_nodes(num_segments, 512), CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
     nblocks = num_segments // bn
     block_edge_lo = offsets[0:num_segments:bn]
@@ -1005,7 +1025,7 @@ def fused_sigma_opposite_pallas(
             offsets, num_segments, interpret)
         return jnp.concatenate(
             [sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1)
-    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    bn, ch = _pick_block_nodes(num_segments, 512), CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
     assert order_plan.ok and opp_plan.ok
     nblocks = num_segments // bn
@@ -1446,7 +1466,7 @@ def fused_gate_sigma_gather_pallas(
             jnp.concatenate([sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1),
             e_new[:, :d],
         )
-    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    bn, ch = _pick_block_nodes(num_segments, 512), CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
     assert value_plan.ok and value_plan.w0.shape[0] * LANE == e_pad
     nblocks = num_segments // bn
@@ -1545,7 +1565,7 @@ def fused_gate_sigma_aggregate_pallas(
             jnp.concatenate([sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1),
             e_new[:, :d],
         )
-    bn, ch = BLOCK_NODES, CHUNK_EDGES
+    bn, ch = _pick_block_nodes(num_segments, 512), CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
     nblocks = num_segments // bn
     block_edge_lo = offsets[0:num_segments:bn]

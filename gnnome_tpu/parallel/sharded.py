@@ -316,7 +316,9 @@ def prepare_batch(
             "(one graph per replica group)"
         )
 
-    n_pad = _round_up(max(s.graph.n_nodes_padded for s in samples), 128 * n_graph)
+    # 512-multiple locals let the per-shard segment-sums use the large
+    # node blocks (spmm_pallas._pick_block_nodes); 128 is the hard floor
+    n_pad = _round_up(max(s.graph.n_nodes_padded for s in samples), 512 * n_graph)
     n_local = n_pad // n_graph
 
     # pass 1: shard bounds (edge buckets) + halo sets (halo bucket)
