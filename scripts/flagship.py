@@ -217,6 +217,7 @@ def make_config(args):
             pretrained_dir=os.path.join(REPO, "pretrained"),
             backend="pallas" if args.tpu else None,
             compute_dtype="bfloat16" if args.tpu else "float32",
+            remat="unroll_group" if args.tpu else "layer",
         ),
     )
 
@@ -237,13 +238,20 @@ def stage_train(args) -> None:
 
 def stage_predict(args) -> None:
     from gnnome_tpu.evaluation import assembly as asm
-    from gnnome_tpu.pipeline import predict
+    from gnnome_tpu.pipeline import predict, predict_baselines
 
     with open(os.path.join(args.root, "meta.json")) as f:
         meta = json.load(f)
     # synthetic genomes are exact-length stand-ins; report against them
     asm.CHR_LENS["chr19"] = meta["chr19_len"]
     asm.CHR_LENS["chr21"] = meta["chr21_len"]
+    if args.baselines:
+        # also decode by raw overlap_length / overlap_similarity — the
+        # reference's non-learned controls (pipeline.py:349-368)
+        predict_baselines(
+            os.path.join(args.root, "test"), "15xchr19", cfg=make_config(args)
+        )
+        return
     results = predict(
         os.path.join(args.root, "test"), "15xchr19", cfg=make_config(args)
     )
@@ -262,6 +270,9 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--threads", type=int, default=os.cpu_count() or 4)
     parser.add_argument("--tpu", action="store_true")
+    parser.add_argument("--baselines", action="store_true",
+                        help="predict stage: also decode the non-learned "
+                             "overlap-length/-similarity controls")
     args = parser.parse_args()
 
     if not args.tpu:
