@@ -171,6 +171,20 @@ def gen_graph(root: str, idx: int, genome_path: str, chr_n: str, seed: int,
         f.write("ok\n")
 
 
+def parse_spec(spec: str):
+    """'chr19:15,chr9:5' → ordered [(chrN, count), ...] (config.py:16-27)."""
+    out = []
+    for part in spec.split(","):
+        chr_n, _, cnt = part.strip().partition(":")
+        out.append((chr_n, int(cnt or 1)))
+    return out
+
+
+def _chr_seed(chr_n: str) -> int:
+    n = chr_n[3:]
+    return (23 if n == "X" else int(n)) * 10
+
+
 def stage_gen(args) -> None:
     from gnnome_tpu.evaluation.assembly import CHR_LENS
 
@@ -178,30 +192,37 @@ def stage_gen(args) -> None:
     genomes = os.path.join(root, "genomes")
     lengths_dir = os.path.join(root, "lengths")
     os.makedirs(genomes, exist_ok=True)
-    meta = {
-        "chr19_len": int(CHR_LENS["chr19"] * args.scale),
-        "chr21_len": int(CHR_LENS["chr21"] * args.scale),
-        "scale": args.scale,
-    }
+    spec = parse_spec(args.train_spec)
+    chrs = sorted({c for c, _ in spec} | {args.valid, args.test})
+    meta = {f"{c}_len": int(CHR_LENS[c] * args.scale) for c in chrs}
+    meta["scale"] = args.scale
     with open(os.path.join(root, "meta.json"), "w") as f:
         json.dump(meta, f)
 
-    chr19 = os.path.join(genomes, "chr19.fasta")
-    chr21 = os.path.join(genomes, "chr21.fasta")
-    ensure_genome(chr19, meta["chr19_len"], seed=190)
-    ensure_genome(chr21, meta["chr21_len"], seed=210)
+    fasta = {}
+    for c in chrs:
+        fasta[c] = os.path.join(genomes, f"{c}.fasta")
+        ensure_genome(fasta[c], meta[f"{c}_len"], seed=_chr_seed(c))
 
     t_all = time.time()
-    for i in range(N_TRAIN):
-        gen_graph(os.path.join(root, "train"), i, chr19, "chr19", seed=i,
-                  lengths_dir=lengths_dir, threads=args.threads,
-                  keep_reads=False)
-    gen_graph(os.path.join(root, "valid"), 0, chr19, "chr19", seed=100,
+    idx = 0
+    # read-sim seeds: global train index / 100 / 0 — matches the recorded
+    # model_15xchr19 run exactly for the default spec (docs/FLAGSHIP.md)
+    for chr_n, count in spec:
+        for _ in range(count):
+            gen_graph(os.path.join(root, "train"), idx, fasta[chr_n], chr_n,
+                      seed=idx,
+                      lengths_dir=lengths_dir, threads=args.threads,
+                      keep_reads=False)
+            idx += 1
+    gen_graph(os.path.join(root, "valid"), 0, fasta[args.valid], args.valid,
+              seed=100,
               lengths_dir=lengths_dir, threads=args.threads, keep_reads=False)
-    gen_graph(os.path.join(root, "test"), 0, chr21, "chr21", seed=0,
+    gen_graph(os.path.join(root, "test"), 0, fasta[args.test], args.test,
+              seed=0,
               lengths_dir=lengths_dir, threads=args.threads, keep_reads=True)
     with open(os.path.join(root, "test", "info", "g_to_chr.pkl"), "wb") as f:
-        pickle.dump({0: "chr21"}, f)
+        pickle.dump({0: args.test}, f)
     log(f"gen complete in {(time.time() - t_all) / 60:.1f} min")
 
 
@@ -228,7 +249,7 @@ def stage_train(args) -> None:
     out = train(
         os.path.join(args.root, "train"),
         os.path.join(args.root, "valid"),
-        out="15xchr19",
+        out=args.out,
         cfg=make_config(args),
     )
     log(f"train done: best model at {out['best_model']}")
@@ -243,21 +264,22 @@ def stage_predict(args) -> None:
     with open(os.path.join(args.root, "meta.json")) as f:
         meta = json.load(f)
     # synthetic genomes are exact-length stand-ins; report against them
-    asm.CHR_LENS["chr19"] = meta["chr19_len"]
-    asm.CHR_LENS["chr21"] = meta["chr21_len"]
+    for key, val in meta.items():
+        if key.endswith("_len"):
+            asm.CHR_LENS[key[: -len("_len")]] = val
     if args.baselines:
         # also decode by raw overlap_length / overlap_similarity — the
         # reference's non-learned controls (pipeline.py:349-368)
         predict_baselines(
-            os.path.join(args.root, "test"), "15xchr19", cfg=make_config(args)
+            os.path.join(args.root, "test"), args.out, cfg=make_config(args)
         )
         return
     results = predict(
-        os.path.join(args.root, "test"), "15xchr19", cfg=make_config(args)
+        os.path.join(args.root, "test"), args.out, cfg=make_config(args)
     )
     n_contigs, longest, frac, n50, ng50 = results[0]
-    log(f"FLAGSHIP ASSEMBLY chr21: {n_contigs} contigs, longest {longest:,} "
-        f"bp, {frac:.1%} reconstructed, N50 {n50:,}, NG50 {ng50:,}")
+    log(f"FLAGSHIP ASSEMBLY {args.test}: {n_contigs} contigs, longest "
+        f"{longest:,} bp, {frac:.1%} reconstructed, N50 {n50:,}, NG50 {ng50:,}")
 
 
 def main() -> None:
@@ -273,6 +295,13 @@ def main() -> None:
     parser.add_argument("--baselines", action="store_true",
                         help="predict stage: also decode the non-learned "
                              "overlap-length/-similarity controls")
+    # dataset spec (reference split-dict analog, config.py:16-27): the
+    # default reproduces model_15xchr19; the second reference artifact is
+    # --train-spec chr9:5,chr19:5,chr22:5 --out 5xchr91922
+    parser.add_argument("--train-spec", default=f"chr19:{N_TRAIN}")
+    parser.add_argument("--valid", default="chr19")
+    parser.add_argument("--test", default="chr21")
+    parser.add_argument("--out", default="15xchr19")
     args = parser.parse_args()
 
     if not args.tpu:
