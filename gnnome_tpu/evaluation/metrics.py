@@ -31,11 +31,24 @@ def confusion_counts(
 
 def classification_metrics(
     counts: Dict[str, jax.Array], reference_compat: bool = False
-) -> Dict[str, jax.Array]:
-    tp, tn, fp, fn = counts["tp"], counts["tn"], counts["fp"], counts["fn"]
+) -> Dict[str, float]:
+    """Derived metrics from TP/TN/FP/FN, computed HOST-side (numpy).
+
+    Runs outside jit by design: under the tunneled TPU runtime every
+    device-scalar ``float()`` is a blocking RPC round-trip, and the jnp
+    version of this arithmetic cost ~6 round-trips per graph — which
+    dominated small-graph training epochs (~31 s/epoch at 46k edges).
+    ``np.asarray`` here is at most one fetch per count; callers on the
+    hot path pre-fetch all four counts in a single transfer
+    (train/loop._epoch_pass)."""
+    import numpy as np
+
+    tp, tn, fp, fn = (
+        float(np.asarray(counts[k])) for k in ("tp", "tn", "fp", "fn")
+    )
 
     def safe_div(a, b):
-        return jnp.where(b > 0, a / jnp.maximum(b, 1), 0.0)
+        return a / b if b > 0 else 0.0
 
     precision = safe_div(tp, tp + fp)
     recall = safe_div(tp, tp + fn)

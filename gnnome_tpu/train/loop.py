@@ -208,8 +208,14 @@ def _epoch_pass(
                     compute_dtype=cfg.train.compute_dtype,
                     wide_gathers=wide,
                 )
-            g_losses.append(float(loss))
-            g_counts.append(counts)
+            # ONE device fetch per step (loss + all four counts packed):
+            # per-scalar float() costs a blocking RPC round-trip under the
+            # tunneled TPU runtime and dominated small-graph epochs
+            packed = np.asarray(jnp.stack(
+                [loss, counts["tp"], counts["tn"], counts["fp"], counts["fn"]]
+            ))
+            g_losses.append(float(packed[0]))
+            g_counts.append(dict(zip(("tp", "tn", "fp", "fn"), packed[1:])))
         losses.append(float(np.mean(g_losses)))
         per_piece = [
             {k: float(v) for k, v in classification_metrics(c).items()}
