@@ -32,11 +32,16 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.cpu_sim:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # a sitecustomize pre-imports jax._src, so JAX_PLATFORMS set via
+        # os.environ here is IGNORED — use the config API (CLAUDE.md);
+        # XLA_FLAGS is still read lazily at first backend init
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.cpu_sim}"
         ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
