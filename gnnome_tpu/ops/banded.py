@@ -43,11 +43,16 @@ CHUNK = SUBROWS_PER_CHUNK * LANE  # 1024 ids per grid step
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BandPlan:
-    """Per-subrow dual-window placement for one ids array.
+    """Per-group dual-window placement for one ids array.
 
     ``w0``: int32[S, 2] window starts (8-row aligned, ``w0[:,1] >=
     w0[:,0] + wr`` so the windows never overlap — a doubled one-hot match
     would double-count a row). ``wr``: static window width (rows).
+    ``group``: static; each window pair serves ``group`` consecutive
+    128-id subrows (``group·128`` ids) — adjacent subrows on
+    locality-ordered assembly graphs share nearly identical windows, so
+    grouping cuts the window-stream HBM traffic by up to ``group·wr_1/wr_g``
+    and the DMA count by ``group`` (the round-2 "window reuse" lever).
     ``ok``: static; False means the planner could not cover every id and
     callers must use ``jnp.take``.
     """
@@ -55,29 +60,33 @@ class BandPlan:
     ok: bool = dataclasses.field(metadata=dict(static=True))
     wr: int = dataclasses.field(metadata=dict(static=True))
     w0: jax.Array  # int32[S, 2]
+    group: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
 def _fallback_plan() -> BandPlan:
-    return BandPlan(ok=False, wr=0, w0=jnp.zeros((0, 2), jnp.int32))
+    return BandPlan(ok=False, wr=0, w0=jnp.zeros((0, 2), jnp.int32), group=1)
 
 
 def plan_windows(
-    ids: np.ndarray, n_rows: int, widths=(128, 256, 512)
+    ids: np.ndarray, n_rows: int, widths=(128, 256, 512), group: int = 1
 ) -> BandPlan:
-    """Host-side planner: place two ``wr``-wide windows per 128-id subrow.
+    """Host-side planner: place two ``wr``-wide windows per ``group·128``-id
+    row group.
 
-    Each subrow's valid ids (< n_rows) are split at the largest gap; the
+    Each group's valid ids (< n_rows) are split at the largest gap; the
     two resulting clusters get one window each (merged into adjacent
     disjoint windows when one suffices). The smallest width in ``widths``
-    that covers every subrow wins; if none does, the plan is marked
+    that covers every group wins; if none does, the plan is marked
     ``ok=False`` and callers fall back to ``jnp.take``.
     """
+    assert group in (1, 2, 4, 8), group  # must divide the 8-subrow chunk
+    w = group * LANE
     ids = np.asarray(ids, dtype=np.int64)
-    assert ids.ndim == 1 and ids.shape[0] % LANE == 0
-    s = ids.shape[0] // LANE
-    ids2 = ids.reshape(s, LANE)
+    assert ids.ndim == 1 and ids.shape[0] % w == 0
+    s = ids.shape[0] // w
+    ids2 = ids.reshape(s, w)
     valid = (ids2 >= 0) & (ids2 < n_rows)
-    # sort each subrow with invalid ids pushed to +inf
+    # sort each group with invalid ids pushed to +inf
     big = np.int64(1) << 40
     rows = np.sort(np.where(valid, ids2, big), axis=1)
     nval = valid.sum(axis=1)
@@ -88,17 +97,17 @@ def plan_windows(
     cut = np.argmax(gaps, axis=1)  # cluster A = rows[: cut+1], B = rows[cut+1:]
     idx = np.arange(s)
     lo_a = np.where(any_valid, rows[:, 0], 0)
-    lo_b = rows[idx, np.minimum(cut + 1, LANE - 1)]
+    lo_b = rows[idx, np.minimum(cut + 1, w - 1)]
     single = (nval <= 1) | (gaps[idx, cut] <= 0)
 
     for wr in widths:
         if 2 * wr > n_rows:
             continue
         # A anchored at its cluster start; B at the second cluster (or
-        # right after A for single-cluster subrows, covering a contiguous
+        # right after A for single-cluster groups, covering a contiguous
         # 2·wr span). Clamps keep both windows in-bounds AND disjoint
         # (w0b >= w0a + wr); the coverage check below is the safety net
-        # for any subrow the heuristic placement cannot cover.
+        # for any group the heuristic placement cannot cover.
         w0a = np.clip((lo_a // 8) * 8, 0, n_rows - 2 * wr)
         lo_b_eff = np.where(single, w0a + wr, lo_b)
         w0b = np.clip((lo_b_eff // 8) * 8, w0a + wr, n_rows - wr)
@@ -106,8 +115,38 @@ def plan_windows(
         cov_b = (ids2 >= w0b[:, None]) & (ids2 < (w0b + wr)[:, None])
         if bool(np.all(cov_a | cov_b | ~valid)):
             w0 = np.stack([w0a, w0b], axis=1).astype(np.int32)
-            return BandPlan(ok=True, wr=int(wr), w0=jnp.asarray(w0))
+            return BandPlan(ok=True, wr=int(wr), w0=jnp.asarray(w0),
+                            group=group)
     return _fallback_plan()
+
+
+def plan_windows_auto(
+    ids: np.ndarray,
+    n_rows: int,
+    groups=(8, 4, 2, 1),
+    widths=(128, 256, 512),
+) -> BandPlan:
+    """Pick the cheapest covering (group, wr) plan for ``ids``.
+
+    Cost model, in order: window-stream HBM bytes per id (∝ ``wr/group``;
+    the dominant term — each group pair is DMA'd once and serves
+    ``group·128`` ids), then selector-matmul FLOPs (∝ ``wr``), then DMA
+    count (larger group = fewer, longer streams). On chain-like assembly
+    graphs a whole 1024-edge chunk usually fits two 128-row windows
+    (group=8), cutting window traffic 8× vs the per-subrow plan.
+    """
+    ids = np.asarray(ids)
+    best = None
+    best_cost = None
+    for group in groups:
+        if ids.shape[0] % (group * LANE) != 0:
+            continue
+        p = plan_windows(ids, n_rows, widths=widths, group=group)
+        if p.ok:
+            cost = (2.0 * p.wr / (group * LANE), p.wr, -group)
+            if best is None or cost < best_cost:
+                best, best_cost = p, cost
+    return best if best is not None else _fallback_plan()
 
 
 def _take_kernel(
