@@ -117,7 +117,7 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
                      order: np.ndarray, identity: bool,
                      key_canonical: np.ndarray = None,
                      opp_canonical: np.ndarray = None) -> CSR:
-    from gnnome_tpu.ops.banded import plan_windows
+    from gnnome_tpu.ops.banded import plan_windows_auto
 
     n_real = int((key_sorted < PAD_SEGMENT).sum())
     offsets = np.searchsorted(
@@ -127,9 +127,12 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
     # exact for BOTH gather conventions in use: masked gathers that pass
     # PAD-marked ids (uncovered -> zero row, the masked contract) and
     # unmasked gathers that pass the zeros-padded/clamped arrays (row 0 is
-    # then inside a window, matching jnp.take bit-for-bit)
+    # then inside a window, matching jnp.take bit-for-bit).
+    # plan_windows_auto picks the cheapest (group, width): grouped plans
+    # serve up to 8 consecutive subrows from one window pair, cutting the
+    # dominant window-stream HBM traffic (the round-2 window-reuse lever).
     def _clamped_plan(ids):
-        return plan_windows(np.where(ids < n_pad, ids, 0), n_pad)
+        return plan_windows_auto(np.where(ids < n_pad, ids, 0), n_pad)
 
     expand_plan = _clamped_plan(key_sorted)
     key_plan = (
@@ -144,13 +147,13 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
     else:
         inv_order = np.empty_like(order)
         inv_order[order] = np.arange(len(order), dtype=np.int32)
-        order_plan = plan_windows(order, e_pad)
-        inv_plan = plan_windows(inv_order, e_pad)
+        order_plan = plan_windows_auto(order, e_pad)
+        inv_plan = plan_windows_auto(inv_order, e_pad)
     opp_ids = opp_plan = None
     if opp_canonical is not None and not identity:
         opp_sorted = np.where(opp_canonical < n_pad, opp_canonical, 0)[order]
         opp_ids = jnp.asarray(opp_sorted.astype(np.int32))
-        opp_plan = plan_windows(opp_sorted, n_pad)
+        opp_plan = plan_windows_auto(opp_sorted, n_pad)
     return CSR(
         identity=identity,
         order=jnp.asarray(order),

@@ -150,28 +150,32 @@ def plan_windows_auto(
 
 
 def _take_kernel(
-    w0_ref,  # SMEM int32[S * 2] (scalar prefetch; flat — a 2-wide minor
+    w0_ref,  # SMEM int32[G * 2] (scalar prefetch; flat — a 2-wide minor
     #          dim would be lane-padded 64x in SMEM by the Mosaic tiler)
     ids_ref,  # VMEM int32[SUBROWS_PER_CHUNK, LANE] block
     table_hbm,  # ANY [R, D]
     out_ref,  # VMEM [CHUNK, D] block
-    win_buf,  # VMEM [nslots, 2, wr, D] scratch (revolving subrow slots)
+    win_buf,  # VMEM [nslots, 2, wr, D] scratch (revolving group slots)
     sems,  # DMA sems [nslots, 2]
     *,
     wr: int,
     out_dim: int,
-    total_subrows: int,
+    total_groups: int,
     nslots: int,
+    group: int,
 ):
-    # Revolving-slot pipeline at SUBROW granularity: global subrow g uses
-    # slot g % nslots, so nslots window-pair DMAs stay in flight across
-    # chunk boundaries. (The ids block is fixed at 8 subrows — the Mosaic
-    # block-shape divisibility rule — while VMEM scratch scales with
-    # nslots, not the chunk.)
+    # Revolving-slot pipeline at GROUP granularity: global group gg (one
+    # window pair per ``group`` consecutive subrows) uses slot gg % nslots,
+    # so nslots window-pair DMAs stay in flight across chunk boundaries.
+    # group divides the 8-subrow chunk, so wait/refill points fall on
+    # static positions of the unrolled subrow loop. (The ids block is
+    # fixed at 8 subrows — the Mosaic block-shape divisibility rule —
+    # while VMEM scratch scales with nslots, not the chunk.)
     c = pl.program_id(0)
+    gpc = SUBROWS_PER_CHUNK // group  # groups per chunk
 
-    def window_dma(slot, g, wi):
-        start = pl.multiple_of(w0_ref[2 * g + wi], 8)
+    def window_dma(slot, gg, wi):
+        start = pl.multiple_of(w0_ref[2 * gg + wi], 8)
         return pltpu.make_async_copy(
             table_hbm.at[pl.ds(start, wr), :],
             win_buf.at[slot, wi],
@@ -180,35 +184,37 @@ def _take_kernel(
 
     @pl.when(c == 0)
     def _():
-        for g0 in range(min(nslots, total_subrows)):
+        for g0 in range(min(nslots, total_groups)):
             for wi in range(2):
                 window_dma(g0 % nslots, g0, wi).start()
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
     for r in range(SUBROWS_PER_CHUNK):
-        g = c * SUBROWS_PER_CHUNK + r
-        slot = g % nslots
-        for wi in range(2):
-            window_dma(slot, g, wi).wait()
+        gg = c * gpc + r // group
+        slot = gg % nslots
+        if r % group == 0:  # first subrow served by this window pair
+            for wi in range(2):
+                window_dma(slot, gg, wi).wait()
         ids_row = ids_ref[r : r + 1, :]  # [1, LANE]
         acc = jnp.zeros((LANE, out_dim), jnp.float32)
         # one selector matmul per window; the planner keeps the windows
         # disjoint, so each id matches at most one one-hot row overall
         # (an overlap would double-count the row).
         for wi in range(2):
-            base = w0_ref[2 * g + wi]
+            base = w0_ref[2 * gg + wi]
             onehot = (row_iota + base == ids_row)  # [wr, LANE]
             acc = acc + _select_matmul(
                 onehot.astype(jnp.bfloat16), win_buf[slot, wi]
             )
         out_ref[r * LANE : (r + 1) * LANE, :] = acc.astype(out_ref.dtype)
 
-        # slot g%nslots is free once the loads above retired (VMEM loads
-        # are synchronous); refill it with subrow g+nslots' windows
-        @pl.when(g + nslots < total_subrows)
-        def _():
-            for wi in range(2):
-                window_dma(slot, g + nslots, wi).start()
+        if r % group == group - 1:
+            # slot gg%nslots is free once the loads above retired (VMEM
+            # loads are synchronous); refill with group gg+nslots' windows
+            @pl.when(gg + nslots < total_groups)
+            def _():
+                for wi in range(2):
+                    window_dma(slot, gg + nslots, wi).start()
 
 
 def _select_matmul(onehot, window):
@@ -249,7 +255,7 @@ def banded_take_pallas(
     r_rows, d = table.shape
     e = ids.shape[0]
     assert e % CHUNK == 0, f"ids length {e} not a multiple of {CHUNK}"
-    assert plan.ok and plan.w0.shape[0] * LANE == e
+    assert plan.ok and plan.w0.shape[0] * LANE * plan.group == e
     if d % LANE != 0:
         d_pad = ((d + LANE - 1) // LANE) * LANE
         out = banded_take_pallas(
@@ -261,14 +267,14 @@ def banded_take_pallas(
     # divisibility — so only the DMA pipeline depth adapts to the budget).
     per_slot = 2 * plan.wr * d * table.dtype.itemsize
     nslots = int(max(2, min(8, 4_500_000 // per_slot)))
-    total_subrows = e // LANE
+    total_groups = e // (LANE * plan.group)
     chunk = SUBROWS_PER_CHUNK * LANE
     nchunks = e // chunk
-    ids2 = ids.reshape(total_subrows, LANE)
+    ids2 = ids.reshape(e // LANE, LANE)
 
     kernel = functools.partial(
-        _take_kernel, wr=plan.wr, out_dim=d, total_subrows=total_subrows,
-        nslots=nslots,
+        _take_kernel, wr=plan.wr, out_dim=d, total_groups=total_groups,
+        nslots=nslots, group=plan.group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -296,7 +302,8 @@ def banded_take_pallas(
         cost_estimate=pl.CostEstimate(
             # window DMAs dominate; flops = the one-hot selector matmuls
             flops=2 * e * 2 * plan.wr * d,
-            bytes_accessed=(e // LANE) * 2 * plan.wr * d * table.dtype.itemsize
+            bytes_accessed=(e // (LANE * plan.group)) * 2 * plan.wr * d
+            * table.dtype.itemsize
             + e * 4 + e * d * table.dtype.itemsize,
             transcendentals=0,
         ),

@@ -411,8 +411,12 @@ def opposite_megafused_supported(csr, d: int, itemsize: int,
         return False
     if csr.order_plan is None or not csr.order_plan.ok:
         return False
-    wbytes = 2 * 8 * 2 * (csr.order_plan.wr + csr.opp_plan.wr) \
-        * max(d, 128) * itemsize
+    # double-buffered per-chunk window sets: 2 slots x (8/group) groups x
+    # 2 windows x wr rows, per plan (grouped plans shrink the footprint)
+    wbytes = (
+        2 * (8 // csr.order_plan.group) * 2 * csr.order_plan.wr
+        + 2 * (8 // csr.opp_plan.group) * 2 * csr.opp_plan.wr
+    ) * max(d, 128) * itemsize
     return wbytes <= budget_bytes
 
 
@@ -542,7 +546,7 @@ def epilog_gather_supported(graph, d: int, itemsize: int,
                             budget_bytes: int = 5_500_000) -> bool:
     """True when ``fused_gate_sigma_gather`` can run: pallas backend, a
     covering band plan over the canonical src ids, and window VMEM within
-    budget (2 slots × 8 subrows × 2 windows × wr × D)."""
+    budget (2 slots × 8/group window groups × 2 windows × wr × D)."""
     backend = backend or default_backend()
     plan = graph.by_src.key_plan
     return (
@@ -550,7 +554,8 @@ def epilog_gather_supported(graph, d: int, itemsize: int,
         and backend in ("pallas", "pallas_interpret")
         and plan is not None and plan.ok
         and graph.n_edges_padded % 1024 == 0
-        and 2 * 8 * 2 * plan.wr * max(d, 128) * itemsize <= budget_bytes
+        and 2 * (8 // plan.group) * 2 * plan.wr * max(d, 128) * itemsize
+        <= budget_bytes
     )
 
 

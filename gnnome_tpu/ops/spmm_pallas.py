@@ -537,8 +537,9 @@ def _epilog_bwd_kernel(
     wr_g: int,
     wr_v: int,
     feat_dim: int,
-    total_subrows: int,
+    total_groups: tuple,
     nslots: int,
+    groups: tuple = (1, 1),  # (key-plan group, value-plan group)
 ):
     """Backward of the gather-fused gate epilog in ONE pass per edge chunk:
     the [E, 2D] gathered sums-cotangent and the [E, D] regathered neighbor
@@ -549,13 +550,14 @@ def _epilog_bwd_kernel(
 
     c = pl.program_id(0)
     scale2 = affine_ref[0:1, :].astype(jnp.float32)
+    gpc = tuple(SUBCHUNKS // g for g in groups)
 
-    def window_dma(slot, g, wi, ti):
+    def window_dma(slot, gg, wi, ti):
         w0 = w0g_ref if ti == 0 else w0v_ref
         buf = wing_buf if ti == 0 else winv_buf
         hbm = gsums_hbm if ti == 0 else vtab_hbm
         wr = wr_g if ti == 0 else wr_v
-        start = pl.multiple_of(w0[2 * g + wi], 8)
+        start = pl.multiple_of(w0[2 * gg + wi], 8)
         return pltpu.make_async_copy(
             hbm.at[pl.ds(start, wr), :], buf.at[slot, wi],
             sems.at[slot, wi, ti],
@@ -563,9 +565,9 @@ def _epilog_bwd_kernel(
 
     @pl.when(c == 0)
     def _():
-        for g0 in range(min(nslots, total_subrows)):
-            for wi in range(2):
-                for ti in range(2):
+        for ti in range(2):
+            for g0 in range(min(nslots, total_groups[ti])):
+                for wi in range(2):
                     window_dma(g0 % nslots, g0, wi, ti).start()
         daff_ref[:] = jnp.zeros_like(daff_ref)
 
@@ -574,22 +576,23 @@ def _epilog_bwd_kernel(
     a_scale = jnp.zeros((1, feat_dim), jnp.float32)
     a_bias = jnp.zeros((1, feat_dim), jnp.float32)
     for r in range(SUBCHUNKS):
-        g = c * SUBCHUNKS + r
-        slot = g % nslots
-        for wi in range(2):
-            for ti in range(2):
-                window_dma(slot, g, wi, ti).wait()
+        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(2))
+        slot = tuple(gg[ti] % nslots for ti in range(2))
+        for ti in range(2):
+            if r % groups[ti] == 0:
+                for wi in range(2):
+                    window_dma(slot[ti], gg[ti], wi, ti).wait()
         key_row = key_ids_ref[r : r + 1, :]  # [1, LANE] (PAD on padding)
         vid_row = vids_ref[r : r + 1, :]
         gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
         v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
         for wi in range(2):
-            sel_g = (iota_g + w0g_ref[2 * g + wi] == key_row)
+            sel_g = (iota_g + w0g_ref[2 * gg[0] + wi] == key_row)
             gc = gc + _select_matmul(
-                sel_g.astype(jnp.bfloat16), wing_buf[slot, wi])
-            sel_v = (iota_v + w0v_ref[2 * g + wi] == vid_row)
+                sel_g.astype(jnp.bfloat16), wing_buf[slot[0], wi])
+            sel_v = (iota_v + w0v_ref[2 * gg[1] + wi] == vid_row)
             v_rows = v_rows + _select_matmul(
-                sel_v.astype(jnp.bfloat16), winv_buf[slot, wi])
+                sel_v.astype(jnp.bfloat16), winv_buf[slot[1], wi])
         g1 = gc[:, :feat_dim]
         g2 = gc[:, feat_dim:]
         sl = slice(r * LANE, (r + 1) * LANE)
@@ -607,11 +610,12 @@ def _epilog_bwd_kernel(
         a_scale = a_scale + jnp.sum(d_pre * graw, axis=0, keepdims=True)
         a_bias = a_bias + jnp.sum(d_pre, axis=0, keepdims=True)
 
-        @pl.when(g + nslots < total_subrows)
-        def _():
-            for wi in range(2):
-                for ti in range(2):
-                    window_dma(slot, g + nslots, wi, ti).start()
+        for ti in range(2):
+            if r % groups[ti] == groups[ti] - 1:
+                @pl.when(gg[ti] + nslots < total_groups[ti])
+                def _(ti=ti):
+                    for wi in range(2):
+                        window_dma(slot[ti], gg[ti] + nslots, wi, ti).start()
 
     daff_ref[0:1, :] += a_scale
     daff_ref[1:2, :] += a_bias
@@ -642,7 +646,10 @@ def epilog_bwd_pallas(
 
     kernel = functools.partial(
         _epilog_bwd_kernel, wr_g=key_plan.wr, wr_v=value_plan.wr,
-        feat_dim=d, total_subrows=total_subrows, nslots=nslots,
+        feat_dim=d,
+        total_groups=(total_subrows // key_plan.group,
+                      total_subrows // value_plan.group),
+        nslots=nslots, groups=(key_plan.group, value_plan.group),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -690,9 +697,10 @@ def epilog_bwd_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * e_pad * 2 * (2 * key_plan.wr + value_plan.wr) * d,
-            bytes_accessed=(e_pad // LANE) * 2
-            * (2 * key_plan.wr * g_sums.dtype.itemsize
-               + value_plan.wr * values_table.dtype.itemsize) * d
+            bytes_accessed=(e_pad // (LANE * key_plan.group)) * 2
+            * 2 * key_plan.wr * d * g_sums.dtype.itemsize
+            + (e_pad // (LANE * value_plan.group)) * 2
+            * value_plan.wr * d * values_table.dtype.itemsize
             + 6 * e_pad * d * 2 + 2 * e_pad * 4,
             transcendentals=e_pad * d,
         ),
@@ -724,8 +732,9 @@ def _opp_bwd_kernel(
     wr_v: int,
     wr_g: int,
     feat_dim: int,
-    total_subrows: int,
+    total_groups: tuple,
     nslots: int,
+    groups: tuple = (1, 1, 1),  # (order, opp, expand) plan groups
 ):
     """Backward of the mega-fused opposite aggregation in ONE pass per
     sorted edge chunk: all three gathers (order-gathered gate, opposite
@@ -734,13 +743,14 @@ def _opp_bwd_kernel(
     from gnnome_tpu.ops.banded import _select_matmul
 
     c = pl.program_id(0)
+    gpc = tuple(SUBCHUNKS // g for g in groups)
 
-    def window_dma(slot, g, wi, ti):
+    def window_dma(slot, gg, wi, ti):
         w0 = (w0e_ref, w0v_ref, w0g_ref)[ti]
         buf = (wine_buf, winv_buf, wing_buf)[ti]
         hbm = (enew_hbm, vtab_hbm, gsum_hbm)[ti]
         wr = (wr_e, wr_v, wr_g)[ti]
-        start = pl.multiple_of(w0[2 * g + wi], 8)
+        start = pl.multiple_of(w0[2 * gg + wi], 8)
         return pltpu.make_async_copy(
             hbm.at[pl.ds(start, wr), :], buf.at[slot, wi],
             sems.at[slot, wi, ti],
@@ -748,20 +758,21 @@ def _opp_bwd_kernel(
 
     @pl.when(c == 0)
     def _():
-        for g0 in range(min(nslots, total_subrows)):
-            for wi in range(2):
-                for ti in range(3):
+        for ti in range(3):
+            for g0 in range(min(nslots, total_groups[ti])):
+                for wi in range(2):
                     window_dma(g0 % nslots, g0, wi, ti).start()
 
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (wr_e, 1), 0)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (wr_g, 1), 0)
     for r in range(SUBCHUNKS):
-        g = c * SUBCHUNKS + r
-        slot = g % nslots
-        for wi in range(2):
-            for ti in range(3):
-                window_dma(slot, g, wi, ti).wait()
+        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(3))
+        slot = tuple(gg[ti] % nslots for ti in range(3))
+        for ti in range(3):
+            if r % groups[ti] == 0:
+                for wi in range(2):
+                    window_dma(slot[ti], gg[ti], wi, ti).wait()
         ids_row = ids_ref[r : r + 1, :]
         eids_row = eids_ref[r : r + 1, :]
         vids_row = vids_ref[r : r + 1, :]
@@ -769,15 +780,15 @@ def _opp_bwd_kernel(
         v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
         gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
         for wi in range(2):
-            sel_e = (iota_e + w0e_ref[2 * g + wi] == eids_row)
+            sel_e = (iota_e + w0e_ref[2 * gg[0] + wi] == eids_row)
             e_rows = e_rows + _select_matmul(
-                sel_e.astype(jnp.bfloat16), wine_buf[slot, wi])
-            sel_v = (iota_v + w0v_ref[2 * g + wi] == vids_row)
+                sel_e.astype(jnp.bfloat16), wine_buf[slot[0], wi])
+            sel_v = (iota_v + w0v_ref[2 * gg[1] + wi] == vids_row)
             v_rows = v_rows + _select_matmul(
-                sel_v.astype(jnp.bfloat16), winv_buf[slot, wi])
-            sel_g = (iota_g + w0g_ref[2 * g + wi] == ids_row)
+                sel_v.astype(jnp.bfloat16), winv_buf[slot[1], wi])
+            sel_g = (iota_g + w0g_ref[2 * gg[2] + wi] == ids_row)
             gc = gc + _select_matmul(
-                sel_g.astype(jnp.bfloat16), wing_buf[slot, wi])
+                sel_g.astype(jnp.bfloat16), wing_buf[slot[2], wi])
         g1 = gc[:, :feat_dim]
         g2 = gc[:, feat_dim:]
         sig = jax.nn.sigmoid(e_rows)
@@ -786,11 +797,12 @@ def _opp_bwd_kernel(
         dge_ref[sl, :] = ((g1 * v_rows + g2) * dsig).astype(dge_ref.dtype)
         dgv_ref[sl, :] = (g1 * sig).astype(dgv_ref.dtype)
 
-        @pl.when(g + nslots < total_subrows)
-        def _():
-            for wi in range(2):
-                for ti in range(3):
-                    window_dma(slot, g + nslots, wi, ti).start()
+        for ti in range(3):
+            if r % groups[ti] == groups[ti] - 1:
+                @pl.when(gg[ti] + nslots < total_groups[ti])
+                def _(ti=ti):
+                    for wi in range(2):
+                        window_dma(slot[ti], gg[ti] + nslots, wi, ti).start()
 
 
 def opp_bwd_pallas(
@@ -819,8 +831,12 @@ def opp_bwd_pallas(
 
     kernel = functools.partial(
         _opp_bwd_kernel, wr_e=order_plan.wr, wr_v=opp_plan.wr,
-        wr_g=expand_plan.wr, feat_dim=d, total_subrows=total_subrows,
+        wr_g=expand_plan.wr, feat_dim=d,
+        total_groups=(total_subrows // order_plan.group,
+                      total_subrows // opp_plan.group,
+                      total_subrows // expand_plan.group),
         nslots=nslots,
+        groups=(order_plan.group, opp_plan.group, expand_plan.group),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -860,8 +876,11 @@ def opp_bwd_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * e_pad * 2
             * (order_plan.wr + opp_plan.wr + 2 * expand_plan.wr) * d,
-            bytes_accessed=(e_pad // LANE) * 2
-            * (order_plan.wr + opp_plan.wr + 2 * expand_plan.wr) * d * 2
+            bytes_accessed=(e_pad // (LANE * order_plan.group)) * 2
+            * order_plan.wr * d * 2
+            + (e_pad // (LANE * opp_plan.group)) * 2 * opp_plan.wr * d * 2
+            + (e_pad // (LANE * expand_plan.group)) * 2
+            * 2 * expand_plan.wr * d * 2
             + 2 * e_pad * d * 2 + 3 * e_pad * 4,
             transcendentals=e_pad * d,
         ),
@@ -893,15 +912,17 @@ def _fused_sigma_opp_kernel(
     ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
     eids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
     vids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
-    wine_buf,  # VMEM [2, SUBCHUNKS, 2, wr_e, D] e_new windows
-    winv_buf,  # VMEM [2, SUBCHUNKS, 2, wr_v, D] value windows
+    wine_buf,  # VMEM [2, gpc_e, 2, wr_e, D] e_new windows
+    winv_buf,  # VMEM [2, gpc_v, 2, wr_v, D] value windows
     sems,  # DMA sems [2, 3] (ids, eids, vids)
-    win_sems,  # DMA sems [2, SUBCHUNKS, 2, 2]
+    wsems_e,  # DMA sems [2, gpc_e, 2]
+    wsems_v,  # DMA sems [2, gpc_v, 2]
     *,
     block_nodes: int,
     feat_dim: int,
     wr_e: int,
     wr_v: int,
+    groups: tuple = (1, 1),  # (order-plan group, opp-plan group)
 ):
     """Reverse-direction gated aggregation in by_src-sorted order where the
     two [E, D] inputs (permuted e_new, gathered a3h[dst]) are SELECTED from
@@ -930,25 +951,28 @@ def _fused_sigma_opp_kernel(
                 vids_buf.at[slot], sems.at[slot, 2]),
         )
 
-    def window_dma(slot, c, r, wi, ti):
+    gpc = tuple(SUBCHUNKS // g for g in groups)  # window groups per chunk
+
+    def window_dma(slot, c, gr, wi, ti):
         w0 = w0e_ref if ti == 0 else w0v_ref
         buf = wine_buf if ti == 0 else winv_buf
         hbm = enew_hbm if ti == 0 else vtab_hbm
         wr = wr_e if ti == 0 else wr_v
-        start = pl.multiple_of(w0[2 * (c * SUBCHUNKS + r) + wi], 8)
+        wsems = wsems_e if ti == 0 else wsems_v
+        start = pl.multiple_of(w0[2 * (c * gpc[ti] + gr) + wi], 8)
         return pltpu.make_async_copy(
             hbm.at[pl.ds(start, wr), :],
-            buf.at[slot, r, wi],
-            win_sems.at[slot, r, wi, ti],
+            buf.at[slot, gr, wi],
+            wsems.at[slot, gr, wi],
         )
 
     def start_chunk(slot, c):
         for d in in_dmas(slot, c):
             d.start()
-        for r in range(SUBCHUNKS):
-            for wi in range(2):
-                for ti in range(2):
-                    window_dma(slot, c, r, wi, ti).start()
+        for ti in range(2):
+            for gr in range(gpc[ti]):
+                for wi in range(2):
+                    window_dma(slot, c, gr, wi, ti).start()
 
     @pl.when(lo < hi)
     def _():
@@ -971,9 +995,11 @@ def _fused_sigma_opp_kernel(
             d.wait()
 
         for r in range(SUBCHUNKS):
-            for wi in range(2):
-                for ti in range(2):
-                    window_dma(slot, c, r, wi, ti).wait()
+            gr = tuple(r // g for g in groups)
+            for ti in range(2):
+                if r % groups[ti] == 0:
+                    for wi in range(2):
+                        window_dma(slot, c, gr[ti], wi, ti).wait()
             ids_row = ids_buf[slot, r : r + 1, :]
             onehot = (ids_row == node_ids).astype(jnp.bfloat16)
             eids_row = eids_buf[slot, r : r + 1, :]
@@ -981,14 +1007,14 @@ def _fused_sigma_opp_kernel(
             e_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
             v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
             for wi in range(2):
-                base_e = w0e_ref[2 * (c * SUBCHUNKS + r) + wi]
+                base_e = w0e_ref[2 * (c * gpc[0] + gr[0]) + wi]
                 sel_e = (iota_e + base_e == eids_row)
                 e_rows = e_rows + _select_matmul(
-                    sel_e.astype(jnp.bfloat16), wine_buf[slot, r, wi])
-                base_v = w0v_ref[2 * (c * SUBCHUNKS + r) + wi]
+                    sel_e.astype(jnp.bfloat16), wine_buf[slot, gr[0], wi])
+                base_v = w0v_ref[2 * (c * gpc[1] + gr[1]) + wi]
                 sel_v = (iota_v + base_v == vids_row)
                 v_rows = v_rows + _select_matmul(
-                    sel_v.astype(jnp.bfloat16), winv_buf[slot, r, wi])
+                    sel_v.astype(jnp.bfloat16), winv_buf[slot, gr[1], wi])
             sig = jax.nn.sigmoid(e_rows)
             vdt = winv_buf.dtype
             sv = (sig * v_rows).astype(vdt)
@@ -1045,6 +1071,7 @@ def fused_sigma_opposite_pallas(
     kernel = functools.partial(
         _fused_sigma_opp_kernel, block_nodes=bn, feat_dim=d,
         wr_e=order_plan.wr, wr_v=opp_plan.wr,
+        groups=(order_plan.group, opp_plan.group),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1063,10 +1090,13 @@ def fused_sigma_opposite_pallas(
             pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
             pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
             pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.VMEM((2, SUBCHUNKS, 2, order_plan.wr, d), e_new.dtype),
-            pltpu.VMEM((2, SUBCHUNKS, 2, opp_plan.wr, d), values_table.dtype),
+            pltpu.VMEM((2, SUBCHUNKS // order_plan.group, 2,
+                        order_plan.wr, d), e_new.dtype),
+            pltpu.VMEM((2, SUBCHUNKS // opp_plan.group, 2,
+                        opp_plan.wr, d), values_table.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, SUBCHUNKS, 2, 2)),
+            pltpu.SemaphoreType.DMA((2, SUBCHUNKS // order_plan.group, 2)),
+            pltpu.SemaphoreType.DMA((2, SUBCHUNKS // opp_plan.group, 2)),
         ],
     )
     return pl.pallas_call(
@@ -1077,9 +1107,9 @@ def fused_sigma_opposite_pallas(
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * bn * d
             + 2 * e_pad * 2 * (order_plan.wr + opp_plan.wr) * d,
-            bytes_accessed=(e_pad // LANE) * 2 * order_plan.wr * d
-            * e_new.dtype.itemsize
-            + (e_pad // LANE) * 2 * opp_plan.wr * d
+            bytes_accessed=(e_pad // (LANE * order_plan.group)) * 2
+            * order_plan.wr * d * e_new.dtype.itemsize
+            + (e_pad // (LANE * opp_plan.group)) * 2 * opp_plan.wr * d
             * values_table.dtype.itemsize
             + 3 * e_pad * 4 + num_segments * 2 * d * 4,
             transcendentals=e_pad * d,
@@ -1113,29 +1143,31 @@ def _gate_front_kernel(
     wr_s: int,
     wr_d: int,
     out_dim: int,
-    total_subrows: int,
+    total_groups: tuple,  # per plan: subrow count // group
     nslots: int,
     n_edges: int,
+    groups: tuple = (1, 1),  # per plan: subrows served per window pair
 ):
     from gnnome_tpu.ops.banded import _select_matmul
 
     c = pl.program_id(0)
+    gpc = tuple(SUBCHUNKS // g for g in groups)  # groups per chunk, per ti
 
-    def window_dma(slot, g, wi, ti):
+    def window_dma(slot, gg, wi, ti):
         w0 = w0s_ref if ti == 0 else w0d_ref
         buf = win1_buf if ti == 0 else win2_buf
         hbm = b1h_hbm if ti == 0 else b2h_hbm
         wr = wr_s if ti == 0 else wr_d
-        start = pl.multiple_of(w0[2 * g + wi], 8)
+        start = pl.multiple_of(w0[2 * gg + wi], 8)
         return pltpu.make_async_copy(
             hbm.at[pl.ds(start, wr), :], buf.at[slot, wi], sems.at[slot, wi, ti]
         )
 
     @pl.when(c == 0)
     def _():
-        for g0 in range(min(nslots, total_subrows)):
-            for wi in range(2):
-                for ti in range(2):
+        for ti in range(2):
+            for g0 in range(min(nslots, total_groups[ti])):
+                for wi in range(2):
                     window_dma(g0 % nslots, g0, wi, ti).start()
         mom_ref[:] = jnp.zeros_like(mom_ref)
 
@@ -1145,11 +1177,12 @@ def _gate_front_kernel(
     m_sum = jnp.zeros((1, out_dim), jnp.float32)
     m_sq = jnp.zeros((1, out_dim), jnp.float32)
     for r in range(SUBCHUNKS):
-        g = c * SUBCHUNKS + r
-        slot = g % nslots
-        for wi in range(2):
-            for ti in range(2):
-                window_dma(slot, g, wi, ti).wait()
+        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(2))
+        slot = tuple(gg[ti] % nslots for ti in range(2))
+        for ti in range(2):
+            if r % groups[ti] == 0:
+                for wi in range(2):
+                    window_dma(slot[ti], gg[ti], wi, ti).wait()
         ids_s = ids_s_ref[r : r + 1, :]  # [1, LANE]
         ids_d = ids_d_ref[r : r + 1, :]
         # B3 projection on the MXU, matching the XLA linear()'s numerics:
@@ -1166,12 +1199,12 @@ def _gate_front_kernel(
         ).astype(e_tile.dtype)
         acc = (proj + bias3_ref[...]).astype(jnp.float32)
         for wi in range(2):
-            oh_s = (iota_s + w0s_ref[2 * g + wi] == ids_s)
+            oh_s = (iota_s + w0s_ref[2 * gg[0] + wi] == ids_s)
             acc = acc + _select_matmul(
-                oh_s.astype(jnp.bfloat16), win1_buf[slot, wi])
-            oh_d = (iota_d + w0d_ref[2 * g + wi] == ids_d)
+                oh_s.astype(jnp.bfloat16), win1_buf[slot[0], wi])
+            oh_d = (iota_d + w0d_ref[2 * gg[1] + wi] == ids_d)
             acc = acc + _select_matmul(
-                oh_d.astype(jnp.bfloat16), win2_buf[slot, wi])
+                oh_d.astype(jnp.bfloat16), win2_buf[slot[1], wi])
         gate_t = acc.astype(gate_ref.dtype)
         gate_ref[r * LANE : (r + 1) * LANE, :] = gate_t
         # moments see the OUTPUT-dtype-rounded gate (matches the XLA path,
@@ -1185,11 +1218,12 @@ def _gate_front_kernel(
         m_sum = m_sum + jnp.sum(gm, axis=0, keepdims=True)
         m_sq = m_sq + jnp.sum(gm * gf, axis=0, keepdims=True)
 
-        @pl.when(g + nslots < total_subrows)
-        def _():
-            for wi in range(2):
-                for ti in range(2):
-                    window_dma(slot, g + nslots, wi, ti).start()
+        for ti in range(2):
+            if r % groups[ti] == groups[ti] - 1:
+                @pl.when(gg[ti] + nslots < total_groups[ti])
+                def _(ti=ti):
+                    for wi in range(2):
+                        window_dma(slot[ti], gg[ti] + nslots, wi, ti).start()
 
     mom_ref[0:1, :] += m_sum
     mom_ref[1:2, :] += m_sq
@@ -1241,7 +1275,10 @@ def gate_front_pallas(
 
     kernel = functools.partial(
         _gate_front_kernel, wr_s=src_plan.wr, wr_d=dst_plan.wr, out_dim=d,
-        total_subrows=total_subrows, nslots=nslots, n_edges=n_edges,
+        total_groups=(total_subrows // src_plan.group,
+                      total_subrows // dst_plan.group),
+        nslots=nslots, n_edges=n_edges,
+        groups=(src_plan.group, dst_plan.group),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1281,8 +1318,10 @@ def gate_front_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * e_pad * 2 * (src_plan.wr + dst_plan.wr) * d
             + 2 * e_pad * d * d,
-            bytes_accessed=(e_pad // LANE) * 2 * (src_plan.wr + dst_plan.wr)
-            * d * b1h.dtype.itemsize
+            bytes_accessed=(e_pad // (LANE * src_plan.group)) * 2
+            * src_plan.wr * d * b1h.dtype.itemsize
+            + (e_pad // (LANE * dst_plan.group)) * 2
+            * dst_plan.wr * d * b2h.dtype.itemsize
             + 2 * e_pad * d * e.dtype.itemsize + 2 * e_pad * 4,
             transcendentals=0,
         ),
@@ -1309,14 +1348,15 @@ def _fused_gate_gather_kernel(
     ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
     vids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
     enew_buf,  # VMEM [2, CHUNK, D] staging for the e_new write-back
-    win_buf,  # VMEM [2, SUBCHUNKS, 2, wr, D] value-table windows
+    win_buf,  # VMEM [2, gpc, 2, wr, D] value-table windows
     sems,  # DMA sems [2, 4] (graw, ein, ids, vids)
     out_sem,  # DMA sems [2] (e_new write-back)
-    win_sems,  # DMA sems [2, SUBCHUNKS, 2]
+    win_sems,  # DMA sems [2, gpc, 2]
     *,
     block_nodes: int,
     feat_dim: int,
     wr: int,
+    group: int = 1,
 ):
     """``_fused_gate_kernel`` with the neighbor-value gather folded in:
     instead of streaming a pregathered [E, D] ``vals`` table, each subrow
@@ -1351,20 +1391,22 @@ def _fused_gate_gather_kernel(
                 vids_buf.at[slot], sems.at[slot, 3]),
         )
 
-    def window_dma(slot, c, r, wi):
-        start = pl.multiple_of(w0_ref[2 * (c * SUBCHUNKS + r) + wi], 8)
+    gpc = SUBCHUNKS // group  # window groups per chunk
+
+    def window_dma(slot, c, gr, wi):
+        start = pl.multiple_of(w0_ref[2 * (c * gpc + gr) + wi], 8)
         return pltpu.make_async_copy(
             vtab_hbm.at[pl.ds(start, wr), :],
-            win_buf.at[slot, r, wi],
-            win_sems.at[slot, r, wi],
+            win_buf.at[slot, gr, wi],
+            win_sems.at[slot, gr, wi],
         )
 
     def start_chunk(slot, c):
         for d in in_dmas(slot, c):
             d.start()
-        for r in range(SUBCHUNKS):
+        for gr in range(gpc):
             for wi in range(2):
-                window_dma(slot, c, r, wi).start()
+                window_dma(slot, c, gr, wi).start()
 
     def out_dma(slot, c):
         return pltpu.make_async_copy(
@@ -1398,8 +1440,10 @@ def _fused_gate_gather_kernel(
             out_dma(slot, c - 2).wait()
 
         for r in range(SUBCHUNKS):
-            for wi in range(2):
-                window_dma(slot, c, r, wi).wait()
+            gr = r // group
+            if r % group == 0:
+                for wi in range(2):
+                    window_dma(slot, c, gr, wi).wait()
             ids_row = ids_buf[slot, r : r + 1, :]
             onehot = (ids_row == node_ids).astype(jnp.bfloat16)
             sl = slice(r * LANE, (r + 1) * LANE)
@@ -1408,10 +1452,10 @@ def _fused_gate_gather_kernel(
             vids_row = vids_buf[slot, r : r + 1, :]  # [1, LANE]
             v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
             for wi in range(2):
-                base = w0_ref[2 * (c * SUBCHUNKS + r) + wi]
+                base = w0_ref[2 * (c * gpc + gr) + wi]
                 sel = (row_iota + base == vids_row)  # [wr, LANE]
                 v_rows = v_rows + _select_matmul(
-                    sel.astype(jnp.bfloat16), win_buf[slot, r, wi])
+                    sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
             enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
             enew_buf[slot, sl, :] = enew.astype(enew_buf.dtype)
             sig = jax.nn.sigmoid(enew)
@@ -1473,7 +1517,8 @@ def fused_gate_sigma_gather_pallas(
         )
     bn, ch = _pick_block_nodes(num_segments, 512), CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
-    assert value_plan.ok and value_plan.w0.shape[0] * LANE == e_pad
+    assert value_plan.ok
+    assert value_plan.w0.shape[0] * LANE * value_plan.group == e_pad
     nblocks = num_segments // bn
     block_edge_lo = offsets[0:num_segments:bn]
     block_edge_hi = offsets[bn : num_segments + 1 : bn]
@@ -1489,7 +1534,7 @@ def fused_gate_sigma_gather_pallas(
 
     kernel = functools.partial(
         _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
-        wr=value_plan.wr,
+        wr=value_plan.wr, group=value_plan.group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1513,11 +1558,11 @@ def fused_gate_sigma_gather_pallas(
             pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
             pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
             pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
-            pltpu.VMEM((2, SUBCHUNKS, 2, value_plan.wr, d),
-                       values_table.dtype),
+            pltpu.VMEM((2, SUBCHUNKS // value_plan.group, 2,
+                        value_plan.wr, d), values_table.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, SUBCHUNKS, 2)),
+            pltpu.SemaphoreType.DMA((2, SUBCHUNKS // value_plan.group, 2)),
         ],
     )
     sums, e_new = pl.pallas_call(
@@ -1531,7 +1576,7 @@ def fused_gate_sigma_gather_pallas(
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * bn * d + 2 * e_pad * 2 * value_plan.wr * d,
             bytes_accessed=2 * e_pad * d * gate_raw_sorted.dtype.itemsize
-            + (e_pad // LANE) * 2 * value_plan.wr * d
+            + (e_pad // (LANE * value_plan.group)) * 2 * value_plan.wr * d
             * values_table.dtype.itemsize
             + 2 * e_pad * 4 + num_segments * 2 * d * 4
             + e_pad * d * e_in_sorted.dtype.itemsize,

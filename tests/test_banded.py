@@ -13,6 +13,7 @@ from gnnome_tpu.ops.banded import (
     LANE,
     banded_take_pallas,
     plan_windows,
+    plan_windows_auto,
     take_rows,
 )
 
@@ -97,6 +98,53 @@ def test_narrow_feature_dim_is_lane_padded():
     )
 
 
+@pytest.mark.parametrize("group", [2, 4, 8])
+def test_grouped_plan_take_matches_take(group):
+    """Window reuse: one window pair serving ``group`` consecutive subrows
+    must produce bit-identical gathers (the plan covers more ids per DMA,
+    the selection math is unchanged)."""
+    rng = np.random.default_rng(6)
+    # realistic slope: ~0.25 rows/id (assembly graphs: n_edges ~ 7 n_nodes)
+    n_rows, n_ids, d = 1024, 4 * 1024, 128
+    ids = _banded_ids(rng, n_ids, n_rows, span=60, jump_every=100)
+    plan = plan_windows(ids, n_rows, group=group)
+    assert plan.ok and plan.group == group
+    assert plan.w0.shape[0] == n_ids // (LANE * group)
+    table = jnp.asarray(rng.standard_normal((n_rows, d)), np.float32)
+    out = banded_take_pallas(table, jnp.asarray(ids), plan, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.take(np.asarray(table), ids, axis=0), atol=1e-6
+    )
+
+
+def test_auto_planner_groups_chain_ids():
+    """On chain-like (assembly-graph) ids the auto planner must pick a
+    grouped plan whose window bytes/id beat the per-subrow plan."""
+    rng = np.random.default_rng(7)
+    # dst ids of a mean-degree-~7 chain graph: ~0.15 rows per edge slot
+    n_rows, n_ids = 1 << 10, 8 * 1024
+    base = np.linspace(0, n_rows - 40, n_ids).astype(np.int64)
+    ids = np.clip(base + rng.integers(-8, 9, n_ids), 0, n_rows - 1).astype(np.int32)
+    auto = plan_windows_auto(ids, n_rows)
+    base_plan = plan_windows(ids, n_rows)
+    assert auto.ok and base_plan.ok
+    assert auto.group > 1
+    bytes_auto = auto.wr / (auto.group * LANE)
+    bytes_base = base_plan.wr / LANE
+    assert bytes_auto < bytes_base
+    # masked-pad contract survives grouping
+    raw = ids.copy()
+    raw[:: 3] = np.int32(2**30)
+    plan = plan_windows_auto(np.where(raw < n_rows, raw, 0), n_rows)
+    assert plan.ok
+    table = jnp.asarray(rng.standard_normal((n_rows, 128)), np.float32)
+    out = take_rows(table, jnp.asarray(raw), plan, "pallas_interpret",
+                    masked=True)
+    ref = np.take(np.asarray(table), np.where(raw < n_rows, raw, 0), axis=0)
+    ref[raw >= n_rows] = 0.0
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
 def test_build_graph_plans_cover_canonical_keys():
     """build_graph's key/expand plans must cover the exact arrays the
     segment ops gather with (the single-plan-two-conventions contract)."""
@@ -113,7 +161,7 @@ def test_build_graph_plans_cover_canonical_keys():
             continue
         ids = np.asarray(key)
         w0 = np.asarray(plan.w0)
-        ids2 = ids.reshape(-1, LANE)
+        ids2 = ids.reshape(-1, plan.group * LANE)
         cov = np.zeros_like(ids2, bool)
         for wi in range(2):
             lo = w0[:, wi][:, None]
