@@ -67,8 +67,18 @@ def _fallback_plan() -> BandPlan:
     return BandPlan(ok=False, wr=0, w0=jnp.zeros((0, 2), jnp.int32), group=1)
 
 
+# Candidate window widths. NEGATIVE RESULT (round 2, measured at 1M
+# edges on v5e): a finer multiple-of-64 ladder (64, 192, 320, 448, ...)
+# cuts planned window bytes ~12% but runs 6% SLOWER end-to-end (1712 vs
+# 1614 ms/step) — sub-128-row DMAs and non-128-multiple contraction dims
+# in the selector matmuls cost more than the bytes saved. Keep the
+# power-of-two ladder; the MXU contracts over wr in 128-row steps and
+# the DMA engine prefers >=64 KB streams.
+DEFAULT_WIDTHS = (128, 256, 512)
+
+
 def plan_windows(
-    ids: np.ndarray, n_rows: int, widths=(128, 256, 512), group: int = 1
+    ids: np.ndarray, n_rows: int, widths=DEFAULT_WIDTHS, group: int = 1
 ) -> BandPlan:
     """Host-side planner: place two ``wr``-wide windows per ``group·128``-id
     row group.
@@ -124,7 +134,7 @@ def plan_windows_auto(
     ids: np.ndarray,
     n_rows: int,
     groups=(8, 4, 2, 1),
-    widths=(128, 256, 512),
+    widths=DEFAULT_WIDTHS,
 ) -> BandPlan:
     """Pick the cheapest covering (group, wr) plan for ``ids``.
 
