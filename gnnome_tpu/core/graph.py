@@ -79,6 +79,17 @@ class CSR:
     # outside build_graph (sharded locals, tests) — callers fall back.
     opp_ids: object = None  # Optional[int32[E_pad]]
     opp_plan: object = None  # Optional[ops.banded.BandPlan]
+    # per-key-node bounds of CANONICAL edge positions (int32[N_pad] each,
+    # hi inclusive; lo > hi for isolated nodes): lets the unsorted-key
+    # reverse aggregation stream canonical edge chunks per node block with
+    # no permutation at all (ops/segment.gated_aggregate_reverse_unsorted).
+    # ``canon_banded`` (static) is True when the total streamed chunks at
+    # 512-node blocks stay within 1.7x the real chunk count — the
+    # dispatch guard for that path.
+    canon_lo: object = None  # Optional[int32[N_pad]]
+    canon_hi: object = None  # Optional[int32[N_pad]]
+    canon_banded: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -154,6 +165,34 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         opp_sorted = np.where(opp_canonical < n_pad, opp_canonical, 0)[order]
         opp_ids = jnp.asarray(opp_sorted.astype(np.int32))
         opp_plan = plan_windows_auto(opp_sorted, n_pad)
+    canon_lo = canon_hi = None
+    canon_banded = False
+    if not identity and n_real > 0:
+        # per-key-node [min, max] canonical positions of its edges: the
+        # k-th sorted edge's canonical position is order[k], node segments
+        # come from offsets. Enables the permutation-free unsorted-key
+        # reverse aggregation (each 512-node block streams only the
+        # canonical chunks its edges live in).
+        lens = offsets[1:] - offsets[:-1]
+        nz = lens > 0
+        starts = np.minimum(offsets[:-1].astype(np.int64), n_real - 1)
+        lo = np.full(n_pad, np.int32(2**30 - 1), np.int32)
+        hi = np.full(n_pad, -1, np.int32)
+        ord_real = order[:n_real].astype(np.int64)
+        lo[nz] = np.minimum.reduceat(ord_real, starts)[nz].astype(np.int32)
+        hi[nz] = np.maximum.reduceat(ord_real, starts)[nz].astype(np.int32)
+        # dispatch guard: total streamed chunks at 512-node blocks vs the
+        # real chunk count (1.0 = perfectly banded; random graphs blow up)
+        bn, ch = 512, 1024
+        if n_pad % bn == 0:
+            lo_b = lo.reshape(-1, bn).min(axis=1).astype(np.int64)
+            hi_b = hi.reshape(-1, bn).max(axis=1).astype(np.int64)
+            c_lo = lo_b // ch
+            c_hi = np.where(hi_b >= 0, (hi_b // ch) + 1, 0)
+            streamed = np.maximum(c_hi - np.minimum(c_lo, c_hi), 0).sum()
+            canon_banded = bool(streamed <= 1.7 * max(1, -(-n_real // ch)))
+        canon_lo = jnp.asarray(lo)
+        canon_hi = jnp.asarray(hi)
     return CSR(
         identity=identity,
         order=jnp.asarray(order),
@@ -166,6 +205,9 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         inv_plan=inv_plan,
         opp_ids=opp_ids,
         opp_plan=opp_plan,
+        canon_lo=canon_lo,
+        canon_hi=canon_hi,
+        canon_banded=canon_banded,
     )
 
 

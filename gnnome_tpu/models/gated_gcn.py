@@ -38,8 +38,10 @@ from gnnome_tpu.ops.norm import masked_batch_norm, masked_layer_norm
 from gnnome_tpu.ops.segment import (
     gated_aggregate,
     gated_aggregate_opposite,
+    gated_aggregate_reverse_unsorted,
     gather_by_endpoint,
     opposite_gather_supported,
+    reverse_unsorted_supported,
 )
 
 
@@ -183,6 +185,15 @@ def gated_gcn_layer(
                 a3_dst, e_new, graph.by_src, n_pad, key=src_key,
                 backend=backend, eps=eps,
             )
+        elif reverse_unsorted_supported(graph, d, h.dtype.itemsize, backend):
+            # permutation-free reverse aggregation: stream e_new in
+            # CANONICAL order per src block and one-hot on the unsorted
+            # src ids — the src sort and its order/inv window streams
+            # do not exist on this path (ops/segment.py)
+            h_bwd = gated_aggregate_reverse_unsorted(
+                a3h, e_new, src_key, graph.dst, graph, n_pad,
+                backend=backend, eps=eps,
+            )
         elif opposite_gather_supported(graph.by_src, backend):
             # gather a3h DIRECTLY in src-sorted order — drops the
             # canonical-order gather + full-table permute (2 fewer [E,D]
@@ -215,6 +226,11 @@ def gated_gcn_layer(
         if a3_dst is not None:
             h_bwd = gated_aggregate_pregathered(
                 a3_dst, e_new, graph.by_src, n_pad, key=src_key,
+                backend=backend, eps=eps,
+            )
+        elif reverse_unsorted_supported(graph, d, h.dtype.itemsize, backend):
+            h_bwd = gated_aggregate_reverse_unsorted(
+                a3h, e_new, src_key, graph.dst, graph, n_pad,
                 backend=backend, eps=eps,
             )
         elif opposite_gather_supported(graph.by_src, backend):

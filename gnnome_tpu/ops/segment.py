@@ -537,6 +537,131 @@ def gated_aggregate_opposite(
 
 
 # ---------------------------------------------------------------------------
+# unsorted-key reverse aggregation: canonical streaming, no permutation
+# ---------------------------------------------------------------------------
+
+
+def reverse_unsorted_supported(graph, d: int, itemsize: int,
+                               backend: Optional[str] = None,
+                               budget_bytes: int = 5_500_000) -> bool:
+    """True when ``gated_aggregate_reverse_unsorted`` can run: pallas
+    backend, a banded canonical footprint for ``by_src`` (the static
+    ``canon_banded`` flag computed by ``build_graph``), a covering dst
+    plan (forward value windows), a covering ``by_src.key_plan`` (the
+    backward's cotangent gather on canonical src ids), and value windows
+    within the VMEM budget."""
+    backend = backend or default_backend()
+    csr = graph.by_src
+    dplan = graph.by_dst.key_plan
+    return (
+        _fusion_level() >= 2
+        and backend in ("pallas", "pallas_interpret")
+        and getattr(csr, "canon_banded", False)
+        and csr.canon_lo is not None
+        and dplan is not None and dplan.ok
+        and csr.key_plan is not None and csr.key_plan.ok
+        and graph.n_edges_padded % 1024 == 0
+        and 2 * (8 // dplan.group) * 2 * dplan.wr * max(d, 128) * itemsize
+        <= budget_bytes
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_sigma_reverse_unsorted(
+    values: jax.Array,  # [N_pad, D] node table (A3·h)
+    gate_pre: jax.Array,  # [E_pad, D] e_new, canonical order
+    src_key: jax.Array,  # int32[E_pad] canonical src (PAD on padding)
+    dst_ids: jax.Array,  # int32[E_pad] clamped canonical dst
+    csr_src: CSR,  # by_src (carries canon_lo/hi + key_plan for the VJP)
+    by_dst: CSR,  # identity layout (dst plan fwd, transpose reduction bwd)
+    num_segments: int = 0,
+    backend: Optional[str] = None,
+):
+    """[Σ σ(e_new)·values[dst] ‖ Σ σ(e_new)] keyed by the UNSORTED
+    canonical src: the reverse GatedGCN aggregation with zero permutation
+    work — e_new streams linearly, the sort and its order/inv window
+    streams do not exist on this path (``fused_sigma_unsorted_pallas``).
+    The VJP is likewise canonical-only: cotangent gather on the
+    near-sorted src key plan, value gather on the dst plan, transpose
+    reduction a SORTED segment-sum over ``by_dst``."""
+    return _reverse_unsorted_forward(
+        values, gate_pre, src_key, dst_ids, csr_src, by_dst,
+        num_segments, backend)
+
+
+def _reverse_unsorted_forward(values, gate_pre, src_key, dst_ids, csr_src,
+                              by_dst, num_segments, backend):
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from gnnome_tpu.ops.spmm_pallas import fused_sigma_unsorted_pallas
+
+        return fused_sigma_unsorted_pallas(
+            gate_pre, values, src_key, dst_ids, by_dst.key_plan,
+            csr_src.canon_lo, csr_src.canon_hi, num_segments,
+            interpret=(backend == "pallas_interpret"),
+        )
+    # XLA composition (CPU/tests): same math, unsorted segment-sum
+    sigma = jax.nn.sigmoid(gate_pre.astype(jnp.float32))
+    v = jnp.take(values, dst_ids, axis=0).astype(jnp.float32)
+    stacked = jnp.concatenate([sigma * v, sigma], axis=-1)
+    valid = src_key < num_segments
+    return jax.ops.segment_sum(
+        jnp.where(valid[:, None], stacked, 0.0),
+        jnp.where(valid, src_key, 0),
+        num_segments=num_segments,
+    )
+
+
+def _rev_unsorted_fwd(values, gate_pre, src_key, dst_ids, csr_src, by_dst,
+                      num_segments, backend):
+    out = _reverse_unsorted_forward(values, gate_pre, src_key, dst_ids,
+                                    csr_src, by_dst, num_segments, backend)
+    return out, (values, gate_pre, src_key, dst_ids, csr_src, by_dst)
+
+
+def _rev_unsorted_bwd(num_segments, backend, res, g):
+    values, gate_pre, src_key, dst_ids, csr_src, by_dst = res
+    d = gate_pre.shape[-1]
+    # everything in canonical order; PAD src keys select zero gc rows so
+    # both per-edge grads vanish on padding without an explicit mask
+    gc = take_rows(g.astype(gate_pre.dtype), src_key, csr_src.key_plan,
+                   backend, masked=True)
+    v = take_rows(values, dst_ids, by_dst.key_plan, backend)
+    g1 = gc[:, :d].astype(jnp.float32)
+    g2 = gc[:, d:].astype(jnp.float32)
+    sig = jax.nn.sigmoid(gate_pre.astype(jnp.float32))
+    dsig = sig * (1.0 - sig)
+    d_gate = ((g1 * v.astype(jnp.float32) + g2) * dsig).astype(gate_pre.dtype)
+    d_v_rows = (g1 * sig).astype(values.dtype)
+    # canonical IS dst-sorted: the transpose reduction needs no permute
+    d_values = segment_sum_csr(d_v_rows, by_dst, values.shape[0],
+                               backend=backend).astype(values.dtype)
+    return d_values, d_gate, None, None, None, None
+
+
+_fused_sigma_reverse_unsorted.defvjp(_rev_unsorted_fwd, _rev_unsorted_bwd)
+
+
+def gated_aggregate_reverse_unsorted(
+    values: jax.Array,
+    gate_pre: jax.Array,
+    src_key: jax.Array,
+    dst_ids: jax.Array,
+    graph,
+    num_segments: int,
+    backend: Optional[str] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Permutation-free reverse gated mean (see
+    ``_fused_sigma_reverse_unsorted``)."""
+    d = values.shape[-1]
+    summed = _fused_sigma_reverse_unsorted(
+        values, gate_pre, src_key, dst_ids, graph.by_src, graph.by_dst,
+        num_segments, backend)
+    return summed[:, :d] / (summed[:, d:] + eps)
+
+
+# ---------------------------------------------------------------------------
 # gather-fused gate epilog: the pregathered neighbor table never exists
 # ---------------------------------------------------------------------------
 

@@ -1119,6 +1119,211 @@ def fused_sigma_opposite_pallas(
 
 
 # ---------------------------------------------------------------------------
+# unsorted-key reverse aggregation: stream CANONICAL edge chunks per src
+# node block — no permutation, no order-plan windows at all
+# ---------------------------------------------------------------------------
+
+
+def _fused_sigma_unsorted_kernel(
+    chunk_lo_ref,  # SMEM int32[nblocks]: canonical chunk ranges per block
+    chunk_hi_ref,  # SMEM int32[nblocks]
+    w0_ref,  # SMEM int32[G * 2] dst-plan window starts (canonical order)
+    enew_hbm,  # ANY [E, D] edge state, CANONICAL order (streamed, no windows)
+    vtab_hbm,  # ANY [N, D] neighbor-value node table (A3·h)
+    ids_hbm,  # ANY int32[E // LANE, LANE] src ids, canonical (PAD on pads)
+    vids_hbm,  # ANY int32[E // LANE, LANE] clamped dst ids, canonical
+    out_ref,  # VMEM [BN, 2D] block: [Σ σ·v | Σ σ]
+    e_buf,  # VMEM [2, CHUNK, D]
+    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    vids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
+    win_buf,  # VMEM [2, gpc, 2, wr, D] value-table windows
+    sems,  # DMA sems [2, 3] (e_new, ids, vids)
+    win_sems,  # DMA sems [2, gpc, 2]
+    *,
+    block_nodes: int,
+    feat_dim: int,
+    wr: int,
+    group: int,
+):
+    """Reverse-direction gated aggregation WITHOUT the src sort: the one-hot
+    segment-sum does not require sorted keys — only the per-block chunk
+    ranges do, and on banded assembly graphs the canonical positions of a
+    node block's out-edges span barely more chunks than its in-edges. So
+    this kernel streams e_new LINEARLY in canonical order (~1 row/id vs the
+    order-plan windows' ~3.5 rows/id of ``_fused_sigma_opp_kernel``) and
+    one-hots on the unsorted src ids; only the [N, D] value gather uses
+    banded windows (the cheap, near-sorted dst plan). The src-sorted e_new
+    copy, the order/inv permutation plans, and their window streams cease
+    to exist on this path."""
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    i = pl.program_id(0)
+    lo = chunk_lo_ref[i]
+    hi = chunk_hi_ref[i]
+    node_ids = i * block_nodes + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, 1), 0
+    )
+    gpc = SUBCHUNKS // group
+
+    def in_dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                enew_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                e_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                ids_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                vids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                vids_buf.at[slot], sems.at[slot, 2]),
+        )
+
+    def window_dma(slot, c, gr, wi):
+        start = pl.multiple_of(w0_ref[2 * (c * gpc + gr) + wi], 8)
+        return pltpu.make_async_copy(
+            vtab_hbm.at[pl.ds(start, wr), :],
+            win_buf.at[slot, gr, wi],
+            win_sems.at[slot, gr, wi],
+        )
+
+    def start_chunk(slot, c):
+        for d in in_dmas(slot, c):
+            d.start()
+        for gr in range(gpc):
+            for wi in range(2):
+                window_dma(slot, c, gr, wi).start()
+
+    @pl.when(lo < hi)
+    def _():
+        start_chunk(0, lo)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+
+    def body(c_rel, acc):
+        acc1, acc2 = acc
+        c = lo + c_rel
+        slot = jax.lax.rem(c_rel, 2)
+        nxt = jax.lax.rem(c_rel + 1, 2)
+
+        @pl.when(c + 1 < hi)
+        def _():
+            start_chunk(nxt, c + 1)
+
+        for d in in_dmas(slot, c):
+            d.wait()
+
+        for r in range(SUBCHUNKS):
+            gr = r // group
+            if r % group == 0:
+                for wi in range(2):
+                    window_dma(slot, c, gr, wi).wait()
+            # UNSORTED one-hot: src ids of this canonical subrow match
+            # whichever of this block's nodes they name (PAD never matches)
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
+            vids_row = vids_buf[slot, r : r + 1, :]
+            v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+            for wi in range(2):
+                base = w0_ref[2 * (c * gpc + gr) + wi]
+                sel = (row_iota + base == vids_row)
+                v_rows = v_rows + _select_matmul(
+                    sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
+            e_tile = e_buf[slot, r * LANE : (r + 1) * LANE, :]
+            sig = jax.nn.sigmoid(e_tile.astype(jnp.float32))
+            vdt = win_buf.dtype
+            sv = (sig * v_rows).astype(vdt)
+            sb = sig.astype(vdt)
+            acc1 = _acc_matmul(acc1, onehot, sv)
+            acc2 = _acc_matmul(acc2, onehot, sb)
+        return acc1, acc2
+
+    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+    out_ref[:, :feat_dim] = acc1
+    out_ref[:, feat_dim:] = acc2
+
+
+def fused_sigma_unsorted_pallas(
+    e_new: jax.Array,  # [E, D] edge state, CANONICAL order
+    values_table: jax.Array,  # [N, D] node table (A3·h)
+    src_ids: jax.Array,  # int32[E] src per canonical edge (PAD on padding)
+    dst_ids: jax.Array,  # int32[E] clamped dst per canonical edge
+    dst_plan,  # BandPlan over dst_ids (by_dst key/expand plan)
+    canon_lo: jax.Array,  # int32[N] min canonical position per src node
+    canon_hi: jax.Array,  # int32[N] max canonical position (incl.; -1 none)
+    num_segments: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """[Σ σ(e_new)·values[dst] ‖ Σ σ(e_new)] keyed by the UNSORTED src —
+    the permutation-free reverse aggregation (see kernel docstring)."""
+    e_pad, d = e_new.shape
+    if d % LANE != 0:
+        d_pad = ((d + LANE - 1) // LANE) * LANE
+        padc = ((0, 0), (0, d_pad - d))
+        sums = fused_sigma_unsorted_pallas(
+            jnp.pad(e_new, padc), jnp.pad(values_table, padc),
+            src_ids, dst_ids, dst_plan, canon_lo, canon_hi,
+            num_segments, interpret)
+        return jnp.concatenate(
+            [sums[:, :d], sums[:, d_pad : d_pad + d]], axis=-1)
+    bn, ch = _pick_block_nodes(num_segments, 512), CHUNK_EDGES
+    assert e_pad % ch == 0 and num_segments % bn == 0
+    assert dst_plan.ok
+    assert dst_plan.w0.shape[0] * LANE * dst_plan.group == e_pad
+    nblocks = num_segments // bn
+    lo_b = canon_lo.reshape(nblocks, bn).min(axis=1)
+    hi_b = canon_hi.reshape(nblocks, bn).max(axis=1)
+    chunk_lo = (lo_b // ch).astype(jnp.int32)
+    chunk_hi = jnp.where(hi_b >= 0, hi_b // ch + 1, 0).astype(jnp.int32)
+    chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
+    ids_2d = src_ids.reshape(e_pad // LANE, LANE)
+    vids_2d = dst_ids.reshape(e_pad // LANE, LANE)
+
+    kernel = functools.partial(
+        _fused_sigma_unsorted_kernel, block_nodes=bn, feat_dim=d,
+        wr=dst_plan.wr, group=dst_plan.group,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, 2 * d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ch, d), e_new.dtype),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((2, SUBCHUNKS // dst_plan.group, 2,
+                        dst_plan.wr, d), values_table.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, SUBCHUNKS // dst_plan.group, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_segments, 2 * d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_pad * bn * d + 2 * e_pad * 2 * dst_plan.wr * d,
+            bytes_accessed=e_pad * d * e_new.dtype.itemsize
+            + (e_pad // (LANE * dst_plan.group)) * 2 * dst_plan.wr * d
+            * values_table.dtype.itemsize
+            + 2 * e_pad * 4 + num_segments * 2 * d * 4,
+            transcendentals=e_pad * d,
+        ),
+    )(chunk_lo, chunk_hi, dst_plan.w0.reshape(-1),
+      e_new, values_table, ids_2d, vids_2d)
+
+
+# ---------------------------------------------------------------------------
 # gate-front fused kernel: dual banded endpoint gather + add + BN moments
 # ---------------------------------------------------------------------------
 
