@@ -175,12 +175,17 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         # canonical chunks its edges live in).
         lens = offsets[1:] - offsets[:-1]
         nz = lens > 0
-        starts = np.minimum(offsets[:-1].astype(np.int64), n_real - 1)
         lo = np.full(n_pad, np.int32(2**30 - 1), np.int32)
         hi = np.full(n_pad, -1, np.int32)
         ord_real = order[:n_real].astype(np.int64)
-        lo[nz] = np.minimum.reduceat(ord_real, starts)[nz].astype(np.int32)
-        hi[nz] = np.maximum.reduceat(ord_real, starts)[nz].astype(np.int32)
+        # reduceat over ONLY the nonzero segments: their starts are strictly
+        # increasing and the final one extends to the array end, so the last
+        # real node's segment includes its last sorted edge (clamping all
+        # starts to n_real-1 instead silently dropped that edge whenever
+        # trailing empty/padded nodes existed).
+        starts_nz = offsets[:-1][nz].astype(np.int64)
+        lo[nz] = np.minimum.reduceat(ord_real, starts_nz).astype(np.int32)
+        hi[nz] = np.maximum.reduceat(ord_real, starts_nz).astype(np.int32)
         # dispatch guard: total streamed chunks at 512-node blocks vs the
         # real chunk count (1.0 = perfectly banded; random graphs blow up)
         bn, ch = 512, 1024

@@ -264,8 +264,11 @@ def train(
     scheduler = ReduceLROnPlateau(factor=tc.decay, patience=tc.patience)
     lr = tc.lr
 
-    ckpt_path = os.path.join(tc.checkpoint_dir, f"{out}.npz")
-    best_path = os.path.join(tc.pretrained_dir, f"model_{out}.npz")
+    # basename the run name: a path-like ``out`` (e.g. "/tmp/run/x") would
+    # otherwise silently nest the artifacts under pretrained/model_/tmp/...
+    run_name = os.path.basename(os.path.normpath(str(out))) or "run"
+    ckpt_path = os.path.join(tc.checkpoint_dir, f"{run_name}.npz")
+    best_path = os.path.join(tc.pretrained_dir, f"model_{run_name}.npz")
     start_epoch = 0
     loss_train_hist: List[float] = []
     loss_valid_hist: List[float] = []

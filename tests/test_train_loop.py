@@ -64,6 +64,18 @@ def test_resume_continues(train_root, tmp_path):
     assert out2["loss_train"][:2] == pytest.approx(out1["loss_train"], abs=1e-9)
 
 
+def test_path_like_out_stays_in_pretrained_dir(train_root, tmp_path):
+    """A path-like run name must not nest artifacts outside the configured
+    dirs (regression: ``pretrained/model_/tmp/<...>`` trees)."""
+    cfg = small_cfg(tmp_path, batch_size_train=1)
+    out = train(train_root, None, out="/tmp/verify_run/train_out",
+                overfit=True, cfg=cfg)
+    assert os.path.dirname(out["best_model"]) == str(tmp_path / "pre")
+    assert os.path.dirname(out["checkpoint"]) == str(tmp_path / "ckpt")
+    assert os.path.basename(out["best_model"]) == "model_train_out.npz"
+    assert os.path.exists(out["best_model"])
+
+
 def test_plateau_scheduler():
     s = ReduceLROnPlateau(factor=0.5, patience=1)
     lr = 1.0
