@@ -67,6 +67,12 @@ class GraphSample:
     dst: np.ndarray
     # old (parser) node id -> device node id; identity when no reordering
     node_map: np.ndarray = None
+    # ground-truth read coordinates (parser node order; zeros on real data
+    # without simulated headers) — the coordinate (Quast-role) evaluation
+    # of decoded walks consumes these (evaluation/assembly.py)
+    read_strand: np.ndarray = None  # int8[N] in {-1, +1}
+    read_start: np.ndarray = None  # int64[N]
+    read_end: np.ndarray = None  # int64[N]
 
 
 def save_processed(parsed: ParsedGraph, y: np.ndarray, npz_path: str) -> None:
@@ -148,6 +154,9 @@ def load_sample(npz_path: str, idx: int, nb_pos_enc: int = 16,
         src=src,
         dst=dst,
         node_map=node_map[:n],
+        read_strand=z["read_strand"],
+        read_start=z["read_start"],
+        read_end=z["read_end"],
     )
 
 

@@ -43,13 +43,21 @@ def inference(
     cfg: Optional[Config] = None,
     baselines: bool = False,
     log_fn=print,
+    ref_lengths: Optional[dict] = None,
 ) -> Tuple[List[List[List[int]]], List[List[Tuple[str, str]]]]:
     """Returns (walks_per_graph, contigs_per_graph) like ``inference.py:404``.
 
     With ``baselines=True`` additionally decodes by raw overlap_length and
     overlap_similarity (``inference.inference_baselines``,
     ``inference.py:280-401``) and saves ``*_ol_len`` / ``*_ol_sim``
-    assemblies.
+    assemblies + walks.
+
+    On graphs with ground-truth read coordinates (simulated data), each
+    decoder's walks also get the coordinate (Quast-role) evaluation
+    (``evaluation.assembly.coordinate_evaluation``): misassembly count,
+    corrected NGA50, true genome fraction — written to
+    ``inference/<idx>_coord{suffix}.json``. ``ref_lengths`` maps graph idx
+    → reference genome length (for NGA50/genome-fraction denominators).
     """
     cfg = cfg or Config()
     params = load_model(model_path, cfg)
@@ -105,6 +113,29 @@ def inference(
         with open(os.path.join(inference_dir, f"{idx}_walks.pkl"), "wb") as f:
             pickle.dump(walks, f)
 
+        ref_len = int((ref_lengths or {}).get(idx, 0))
+
+        def coord_report(walks_x, suffix):
+            cm = asm.coordinate_evaluation(
+                walks_x, np.asarray(sample.read_strand),
+                np.asarray(sample.read_start), np.asarray(sample.read_end),
+                ref_length=ref_len,
+            )
+            log_fn(
+                f"graph {idx}{suffix}: misassemblies={cm['n_misassemblies']} "
+                f"genome_fraction={cm['genome_fraction']:.4f} "
+                f"NGA50={cm['nga50']:,} longest_correct={cm['longest_correct']:,}"
+            )
+            import json
+
+            with open(os.path.join(inference_dir, f"{idx}_coord{suffix}.json"),
+                      "w") as f:
+                json.dump(cm, f)
+
+        has_coords = np.asarray(sample.read_end)[: g.n_nodes].max(initial=0) > 0
+        if has_coords:
+            coord_report(walks, "")
+
         contigs = asm.walk_to_sequence(walks, reads, sample.prefix_length, edges)
         asm.save_assembly(contigs, data_path, idx)
         walks_per_graph.append(walks)
@@ -122,6 +153,11 @@ def inference(
                     len_threshold=cfg.decode.len_threshold,
                     seed=cfg.train.seed,
                 )
+                with open(os.path.join(inference_dir,
+                                       f"{idx}_walks{suffix}.pkl"), "wb") as f:
+                    pickle.dump(walks_b, f)
+                if has_coords:
+                    coord_report(walks_b, suffix)
                 contigs_b = asm.walk_to_sequence(
                     walks_b, reads, sample.prefix_length, edges
                 )

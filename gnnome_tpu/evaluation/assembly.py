@@ -103,6 +103,92 @@ def quick_evaluation(
     )
 
 
+def edge_coordinate_consistent(
+    strand: np.ndarray, start: np.ndarray, end: np.ndarray, a: int, b: int
+) -> bool:
+    """True when walk edge ``a → b`` is genomically correct: both reads on
+    one strand, properly overlapping, and advancing along the genome in
+    that strand's walk direction. This is the ground-truth adjacency the
+    oracle's debug asserts check (``algorithms.py:12-39``), tightened to
+    require advancement (so teleports between repeat copies AND stalls
+    both count as misassemblies)."""
+    if strand[a] != strand[b]:
+        return False
+    if strand[a] == 1:
+        return (start[a] <= start[b] <= end[a]) and end[b] >= end[a]
+    return (start[b] <= start[a] <= end[b]) and end[b] <= end[a]
+
+
+def coordinate_evaluation(
+    walks: List[List[int]],
+    read_strand: np.ndarray,
+    read_start: np.ndarray,
+    read_end: np.ndarray,
+    ref_length: int = 0,
+) -> Dict[str, float]:
+    """Ground-truth (Quast-role) assembly evaluation for synthetic data.
+
+    ``quick_evaluation`` (the reference's built-in metrics,
+    ``evaluate.py:58-104``) counts contig *bp* — a chimeric walk that
+    teleports between repeat copies still scores well (even >100%
+    reconstructed). The reference defers misassembly detection to external
+    Quast (``README.md:114-129``); on simulated reads we can do it exactly:
+    every read carries its true genome interval, so each walk edge is
+    checkable (:func:`edge_coordinate_consistent`). Walks are split at
+    inconsistent edges into *correct segments* — the Quast-style corrected
+    contigs — and we report:
+
+    - ``n_misassemblies``: inconsistent walk edges (≈ Quast misassemblies)
+    - ``genome_fraction``: union of correct-segment genome intervals ÷ ref
+      (double-counted repeats collapse, unlike raw "reconstructed %")
+    - ``nga50``: NG50 over corrected segment lengths (Quast's NGA50 role)
+    - ``longest_correct``: largest correct segment (bp of genome interval)
+    """
+    seg_intervals: List[Tuple[int, int]] = []
+    n_mis = 0
+    for walk in walks:
+        if not walk:
+            continue
+        run_start = 0
+        for i in range(len(walk) - 1):
+            if not edge_coordinate_consistent(
+                read_strand, read_start, read_end, walk[i], walk[i + 1]
+            ):
+                n_mis += 1
+                seg = walk[run_start : i + 1]
+                seg_intervals.append(
+                    (min(int(read_start[n]) for n in seg),
+                     max(int(read_end[n]) for n in seg))
+                )
+                run_start = i + 1
+        seg = walk[run_start:]
+        seg_intervals.append(
+            (min(int(read_start[n]) for n in seg),
+             max(int(read_end[n]) for n in seg))
+        )
+    lengths = [hi - lo for lo, hi in seg_intervals]
+    # union of covered genome intervals
+    union = 0
+    cur_lo = cur_hi = None
+    for lo, hi in sorted(seg_intervals):
+        if cur_hi is None or lo > cur_hi:
+            if cur_hi is not None:
+                union += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    if cur_hi is not None:
+        union += cur_hi - cur_lo
+    return {
+        "n_walks": len(walks),
+        "n_misassemblies": n_mis,
+        "n_correct_segments": len(seg_intervals),
+        "longest_correct": max(lengths) if lengths else 0,
+        "nga50": calculate_ng50(lengths, ref_length) if ref_length else -1,
+        "genome_fraction": union / ref_length if ref_length else 0.0,
+    }
+
+
 def print_summary(
     data_path: str, idx: int, chr_n: str,
     num_contigs: int, longest: int, reconstructed: float, n50: int, ng50: int,

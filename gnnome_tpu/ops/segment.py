@@ -883,14 +883,19 @@ def _gate_front_fwd(b1h, b2h, e, w3, bias3, src_ids, dst_ids, csrs,
 def _gate_front_bwd(n_pad, n_edges, backend, res, cot):
     gate, e, w3, (by_src, by_dst), (p1, p2, p3) = res
     d_gate, d_mom = cot
+    # n_pad may be (n_src_rows, n_dst_rows) when the two endpoint tables
+    # differ — the sharded layer gathers the non-keyed endpoint from the
+    # combined [N_local + P·H] own‖halo table and the keyed one from the
+    # [N_local] block (parallel/sharded.py)
+    n_src, n_dst = n_pad if isinstance(n_pad, tuple) else (n_pad, n_pad)
     mask = (jnp.arange(gate.shape[0]) < n_edges)[:, None]
     # moments chain: d(Σg)/dg = 1, d(Σg²)/dg = 2g — on real edges only
     d_total32 = d_gate.astype(jnp.float32) + jnp.where(
         mask, d_mom[0] + 2.0 * gate.astype(jnp.float32) * d_mom[1], 0.0
     )
     d_total = d_total32.astype(e.dtype)
-    d_b1h = segment_sum_csr(d_total, by_src, n_pad, backend=backend)
-    d_b2h = segment_sum_csr(d_total, by_dst, n_pad, backend=backend)
+    d_b1h = segment_sum_csr(d_total, by_src, n_src, backend=backend)
+    d_b2h = segment_sum_csr(d_total, by_dst, n_dst, backend=backend)
     # B3 chain: ordinary dense grads (the matmuls XLA autodiff would emit)
     d_e = jnp.dot(d_total, w3.T, preferred_element_type=e.dtype)
     # f32 accumulation over the 1M-edge contraction without upcasting the

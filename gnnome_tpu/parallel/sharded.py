@@ -509,14 +509,11 @@ def _halo_exchange(
                            axis=0)
 
 
-def _ref_gather(
-    table: jax.Array,  # [N_local + P·H, W] combined endpoint table
-    shard: Dict[str, jax.Array],
-    backend: Optional[str],
-) -> jax.Array:
-    """Per-edge gather of the non-keyed endpoint's row; VJP = sorted
-    segment-sum over the combined table (scatter-free)."""
-    ref_csr = CSR(
+def _ref_csr(shard: Dict[str, jax.Array]) -> CSR:
+    """CSR over the combined [N_local + P·H] table keyed by ``ref``: the
+    transpose layout whose sorted segment-sum is every combined-table
+    gather's VJP, carrying the ref band plans for the forward."""
+    return CSR(
         identity=False,
         order=shard["ref_order"], inv_order=shard["ref_inv_order"],
         offsets=shard["ref_offsets"], segment_ids=shard["ref_segment_ids"],
@@ -525,7 +522,17 @@ def _ref_gather(
         inv_plan=shard.get("_ref_inv_plan"),
         expand_plan=shard.get("_ref_expand_plan"),
     )
-    return gather_by_endpoint(table, shard["ref"], ref_csr, table.shape[0], backend)
+
+
+def _ref_gather(
+    table: jax.Array,  # [N_local + P·H, W] combined endpoint table
+    shard: Dict[str, jax.Array],
+    backend: Optional[str],
+) -> jax.Array:
+    """Per-edge gather of the non-keyed endpoint's row; VJP = sorted
+    segment-sum over the combined table (scatter-free)."""
+    return gather_by_endpoint(table, shard["ref"], _ref_csr(shard),
+                              table.shape[0], backend)
 
 
 def _key_gather(
@@ -564,6 +571,34 @@ def _apply_bn(x, mean, var, scale, bias, eps=1e-5):
     return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _shard_fused_supported(shard: Dict[str, jax.Array], d: int, itemsize: int,
+                           backend: Optional[str]) -> bool:
+    """True when this edge shard can run the round-2 fused kernel suite
+    (gate-front + gather-fused epilog) instead of the composed
+    gather/add/matmul lowering: pallas backend, covering band plans for
+    both the local key ids and the combined-table ref ids, and window
+    VMEM within the kernels' budgets (same formulas as
+    ``ops.segment.gate_front_supported`` / ``epilog_gather_supported``;
+    the edge bucket is a 1024-multiple by construction)."""
+    from gnnome_tpu.ops.segment import _fusion_level, default_backend
+
+    backend = backend or default_backend()
+    kp = shard.get("_key_plan")
+    rp = shard.get("_ref_plan")
+    if not (
+        _fusion_level() >= 2
+        and backend in ("pallas", "pallas_interpret")
+        and kp is not None and kp.ok and rp is not None and rp.ok
+        and shard["key_local"].shape[0] % 1024 == 0
+    ):
+        return False
+    # gate-front double-buffers 2 windows per side; epilog budget mirrors
+    # epilog_gather_supported (group is 1 for shard plans)
+    gate_front_bytes = 2 * 2 * (kp.wr + rp.wr) * max(d, 128) * itemsize
+    epilog_bytes = 2 * (8 // rp.group) * 2 * rp.wr * max(d, 128) * itemsize
+    return gate_front_bytes <= 8_000_000 and epilog_bytes <= 5_500_000
+
+
 def _sharded_gated_gcn_layer(
     lp: Dict,
     h_loc: jax.Array,  # [N/P, D]
@@ -579,40 +614,93 @@ def _sharded_gated_gcn_layer(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     h_in = h_loc
     d = h_loc.shape[-1]
+    n_local = h_loc.shape[0]
+    itemsize = h_loc.dtype.itemsize
+    fused = (
+        batch_norm
+        and _shard_fused_supported(fwd, d, itemsize, backend)
+        and _shard_fused_supported(bwd, d, itemsize, backend)
+    )
     # issue the halo exchanges first: they depend only on B1/A2 (fwd halo)
     # and B2/A3 (bwd halo), so XLA's latency-hiding scheduler can overlap
     # the all_to_alls with the remaining local projections and gate math
-    b1a2 = jnp.concatenate([linear(lp["B1"], h_loc), linear(lp["A2"], h_loc)],
-                           axis=-1)
+    b1h = linear(lp["B1"], h_loc)
+    a2h = linear(lp["A2"], h_loc)
+    b1a2 = jnp.concatenate([b1h, a2h], axis=-1)
     src_tab = _halo_exchange(b1a2, fwd, n_shards, backend)  # fwd needs remote src
-    b2a3 = jnp.concatenate([linear(lp["B2"], h_loc), linear(lp["A3"], h_loc)],
-                           axis=-1)
+    b2h = linear(lp["B2"], h_loc)
+    a3h = linear(lp["A3"], h_loc)
+    b2a3 = jnp.concatenate([b2h, a3h], axis=-1)
     dst_tab = _halo_exchange(b2a3, bwd, n_shards, backend)  # bwd needs remote dst
     a1 = linear(lp["A1"], h_loc)
 
-    # fwd shard: keyed endpoint = dst (local rows of b2a3), remote = src
-    sg = _ref_gather(src_tab, fwd, backend)  # [E_b, 2D] = [b1_src ‖ a2_src]
-    dgl_ = _key_gather(b2a3, fwd, backend)  # [E_b, 2D] = [b2_dst ‖ a3_dst]
-    gate_f = sg[:, :d] + dgl_[:, :d] + linear(lp["B3"], e_f)
-    a2_src_f = sg[:, d:]
-
-    # bwd shard: keyed endpoint = src (local rows of b1a2), remote = dst
-    dg = _ref_gather(dst_tab, bwd, backend)
-    sgl = _key_gather(b1a2, bwd, backend)
-    gate_b = sgl[:, :d] + dg[:, :d] + linear(lp["B3"], e_b)
-    a3_dst_b = dg[:, d:]
-
-    n_local = h_loc.shape[0]
     csr_f = _local_csr(fwd["key_local"], fwd["offsets"], fwd.get("_key_plan"))
     csr_b = _local_csr(bwd["key_local"], bwd["offsets"], bwd.get("_key_plan"))
 
-    if batch_norm:
+    if fused:
+        # Round-2 fused suite over the sharded layout (the single-chip
+        # dispatch of models/gated_gcn.py brought to shard_map): per edge
+        # shard, gate-front fuses BOTH endpoint gathers (combined-table ref
+        # side banded + local key side banded) with the in-kernel B3
+        # projection; the gather-fused epilog then selects the value rows
+        # (a2h[src] / a3h[dst]) from banded VMEM windows of the SAME
+        # tables — no pregathered [E, D] endpoint tables, b3e, or XLA add
+        # chains exist in HBM. Both shards are locally SORTED (dual
+        # sharding), so no opposite/reverse-unsorted machinery is needed.
+        # BN moments stay outside the kernel: per-shard real-edge counts
+        # differ across ranks, so the kernel's static-count moment mask
+        # cannot apply; masked_moments reads the gate once and psums.
+        from gnnome_tpu.ops.segment import (
+            fused_gate_front,
+            fused_gate_sigma_gather,
+        )
+
+        rcsr_f, rcsr_b = _ref_csr(fwd), _ref_csr(bwd)
+        n_comb = src_tab.shape[0]
+        safe_f = jnp.where(fwd["key_local"] < n_local, fwd["key_local"], 0)
+        safe_b = jnp.where(bwd["key_local"] < n_local, bwd["key_local"], 0)
+
+        gate_f, _ = fused_gate_front(
+            src_tab[:, :d], b2h, e_f, lp["B3"]["w"], lp["B3"]["b"],
+            fwd["ref"], safe_f, (rcsr_f, csr_f), (n_comb, n_local), 0,
+            backend,
+        )
+        gate_b, _ = fused_gate_front(
+            dst_tab[:, :d], b1h, e_b, lp["B3"]["w"], lp["B3"]["b"],
+            bwd["ref"], safe_b, (rcsr_b, csr_b), (n_comb, n_local), 0,
+            backend,
+        )
+        mean, var = masked_moments(gate_f, fwd["mask"], axis_name=AXIS_GRAPH)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        scale2 = inv * lp["norm_e"]["scale"].astype(jnp.float32)
+        bias2 = lp["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
+        affine = jnp.stack([scale2, bias2])
+
+        agg_f, e_f_new = fused_gate_sigma_gather(
+            gate_f, e_f, src_tab[:, d:], affine,
+            (fwd["key_local"], fwd["ref"]), csr_f, rcsr_f, n_local, backend,
+        )
+        agg_b, e_b_new = fused_gate_sigma_gather(
+            gate_b, e_b, dst_tab[:, d:], affine,
+            (bwd["key_local"], bwd["ref"]), csr_b, rcsr_b, n_local, backend,
+        )
+    elif batch_norm:
+        from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
+
+        # composed fallback (CPU xla backend / no covering plans)
+        sg = _ref_gather(src_tab, fwd, backend)  # [E_b, 2D] = [b1_src ‖ a2_src]
+        dgl_ = _key_gather(b2a3, fwd, backend)  # [E_b, 2D] = [b2_dst ‖ a3_dst]
+        gate_f = sg[:, :d] + dgl_[:, :d] + linear(lp["B3"], e_f)
+        a2_src_f = sg[:, d:]
+        dg = _ref_gather(dst_tab, bwd, backend)
+        sgl = _key_gather(b1a2, bwd, backend)
+        gate_b = sgl[:, :d] + dg[:, :d] + linear(lp["B3"], e_b)
+        a3_dst_b = dg[:, d:]
+
         # stats over the fwd sharding only (each real edge exactly once,
         # psum over the mesh); the folded affine + relu + residual + σ +
         # both segment-sums run in the gate-epilog fused kernel per
         # sharding — one pass over each edge set.
-        from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
-
         mean, var = masked_moments(gate_f, fwd["mask"], axis_name=AXIS_GRAPH)
         inv = jax.lax.rsqrt(var + 1e-5)
         scale2 = inv * lp["norm_e"]["scale"].astype(jnp.float32)
@@ -630,6 +718,15 @@ def _sharded_gated_gcn_layer(
     else:
         from gnnome_tpu.ops.norm import masked_layer_norm
         from gnnome_tpu.ops.segment import _fused_sigma_aggregate
+
+        sg = _ref_gather(src_tab, fwd, backend)
+        dgl_ = _key_gather(b2a3, fwd, backend)
+        gate_f = sg[:, :d] + dgl_[:, :d] + linear(lp["B3"], e_f)
+        a2_src_f = sg[:, d:]
+        dg = _ref_gather(dst_tab, bwd, backend)
+        sgl = _key_gather(b1a2, bwd, backend)
+        gate_b = sgl[:, :d] + dg[:, :d] + linear(lp["B3"], e_b)
+        a3_dst_b = dg[:, d:]
 
         gate_f = masked_layer_norm(gate_f, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
         gate_b = masked_layer_norm(gate_b, lp["norm_e"]["scale"], lp["norm_e"]["bias"])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import gzip
+import json
 import os
 import pickle
 import shutil
@@ -227,11 +228,14 @@ def predict(
     cfg = cfg or Config()
     if model_path is None:
         model_path = os.path.join(cfg.train.pretrained_dir, f"model_{out}.npz")
-    walks, contigs_per_graph = inference(
-        test_path, model_path, cfg, baselines=baselines, log_fn=log_fn
-    )
     with open(os.path.join(test_path, "info", "g_to_chr.pkl"), "rb") as f:
         g_to_chr = pickle.load(f)
+    ref_lengths = {idx: asm.CHR_LENS.get(chr_n, 0)
+                   for idx, chr_n in g_to_chr.items()}
+    walks, contigs_per_graph = inference(
+        test_path, model_path, cfg, baselines=baselines, log_fn=log_fn,
+        ref_lengths=ref_lengths,
+    )
     results = []
     for idx, contigs in enumerate(contigs_per_graph):
         chr_n = g_to_chr[idx]
@@ -255,9 +259,12 @@ def predict_baselines(
     cfg = cfg or Config()
     if model_path is None:
         model_path = os.path.join(cfg.train.pretrained_dir, f"model_{out}.npz")
-    inference(test_path, model_path, cfg, baselines=True, log_fn=log_fn)
     with open(os.path.join(test_path, "info", "g_to_chr.pkl"), "rb") as f:
         g_to_chr = pickle.load(f)
+    ref_lengths = {idx: asm.CHR_LENS.get(chr_n, 0)
+                   for idx, chr_n in g_to_chr.items()}
+    inference(test_path, model_path, cfg, baselines=True, log_fn=log_fn,
+              ref_lengths=ref_lengths)
     results = {}
     for idx, chr_n in g_to_chr.items():
         for label, suffix in (("GNN scores", ""),
@@ -272,7 +279,19 @@ def predict_baselines(
             log_fn(f"{label}:")
             stats = asm.quick_evaluation(contigs, chr_n)
             asm.print_summary(test_path, f"{idx}{suffix}", chr_n, *stats, log_fn=log_fn)
-            results[(idx, suffix)] = stats
+            coord_path = os.path.join(
+                test_path, "inference", f"{idx}_coord{suffix}.json")
+            coord = None
+            if os.path.exists(coord_path):
+                with open(coord_path) as f:
+                    coord = json.load(f)
+                log_fn(
+                    f"Coordinate (Quast-role) metrics: "
+                    f"misassemblies={coord['n_misassemblies']} "
+                    f"genome_fraction={coord['genome_fraction']:.4f} "
+                    f"NGA50={coord['nga50']:,}"
+                )
+            results[(idx, suffix)] = {"quick": stats, "coord": coord}
     return results
 
 

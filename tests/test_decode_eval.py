@@ -151,3 +151,49 @@ def test_sequential_decode_odd_node_count():
         nb_paths=4, len_threshold=2, engine="sequential",
     )
     assert contigs == [[0, 2]]
+
+
+def test_coordinate_evaluation():
+    """The Quast-role evaluator: misassembly (teleport) edges split walks
+    into corrected segments; genome fraction is a true interval union
+    (chimeric double-coverage does not inflate it)."""
+    import numpy as np
+    from gnnome_tpu.evaluation.assembly import (
+        coordinate_evaluation,
+        edge_coordinate_consistent,
+    )
+
+    # nodes: 0..3 consecutive +strand reads tiling [0, 4000); node 4 is a
+    # distant repeat copy read; node 5 a -strand read
+    strand = np.array([1, 1, 1, 1, 1, -1])
+    start = np.array([0, 800, 1600, 2400, 9000, 1000])
+    end = np.array([1000, 1800, 2600, 3400, 10000, 2000])
+
+    assert edge_coordinate_consistent(strand, start, end, 0, 1)
+    assert not edge_coordinate_consistent(strand, start, end, 1, 0)  # stall/backtrack
+    assert not edge_coordinate_consistent(strand, start, end, 3, 4)  # teleport (gap)
+    assert not edge_coordinate_consistent(strand, start, end, 1, 5)  # strand mix
+    # -strand pair: walk moves right-to-left on the genome
+    strand2 = np.array([-1, -1])
+    start2 = np.array([800, 0])
+    end2 = np.array([1800, 1000])
+    assert edge_coordinate_consistent(strand2, start2, end2, 0, 1)
+    assert not edge_coordinate_consistent(strand2, start2, end2, 1, 0)
+
+    # one clean walk -> no misassembly, fraction = 3400/10000
+    m = coordinate_evaluation([[0, 1, 2, 3]], strand, start, end, ref_length=10000)
+    assert m["n_misassemblies"] == 0
+    assert m["n_correct_segments"] == 1
+    assert m["genome_fraction"] == (3400 - 0) / 10000
+    assert m["longest_correct"] == 3400
+
+    # teleporting walk splits at the bad edge; both sides counted once
+    m = coordinate_evaluation([[0, 1, 4]], strand, start, end, ref_length=10000)
+    assert m["n_misassemblies"] == 1
+    assert m["n_correct_segments"] == 2
+    assert m["genome_fraction"] == (1800 + 1000) / 10000
+
+    # two walks over the SAME region: union does not double count
+    m = coordinate_evaluation([[0, 1], [0, 1, 2]], strand, start, end,
+                              ref_length=10000)
+    assert m["genome_fraction"] == 2600 / 10000

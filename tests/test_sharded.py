@@ -190,3 +190,51 @@ def test_sharded_band_plans_built_and_exact(rng, cfg):
                     jax.tree_util.tree_leaves(got_grads)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_fused_suite_matches_single_device(rng, monkeypatch):
+    """Round-3: the sharded layer dispatches the round-2 fused kernel suite
+    (gate-front with in-kernel B3 + gather-fused epilog, per edge shard,
+    over the combined own-block‖halo tables) and still matches
+    single-device loss AND gradients. The spy asserts the fused branch is
+    the one actually executing (it takes precedence over the composed
+    gather/add lowering whenever the shard band plans cover)."""
+    import gnnome_tpu.ops.segment as seg
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=1, graph=8)
+    # d=128 so the kernels run un-padded lanes
+    cfg128 = ModelConfig(num_gnn_layers=2, hidden_features=128,
+                         hidden_edge_features=8, hidden_edge_scores=16,
+                         nb_pos_enc=8)
+    sample = make_sample(rng)
+    params = init_model_params(jax.random.PRNGKey(0), cfg128)
+    pos_weight = jnp.float32(2.0)
+
+    ref, gref = jax.value_and_grad(
+        lambda p: single_device_loss(p, sample, pos_weight, cfg128))(params)
+
+    batch = prepare_batch([sample], mesh)
+    calls = {"front": 0, "epilog": 0}
+    real_front = seg.fused_gate_front
+    real_epilog = seg.fused_gate_sigma_gather
+
+    def spy_front(*a, **k):
+        calls["front"] += 1
+        return real_front(*a, **k)
+
+    def spy_epilog(*a, **k):
+        calls["epilog"] += 1
+        return real_epilog(*a, **k)
+
+    monkeypatch.setattr(seg, "fused_gate_front", spy_front)
+    monkeypatch.setattr(seg, "fused_gate_sigma_gather", spy_epilog)
+    loss_fn = make_sharded_loss(mesh, batch_norm=True,
+                                backend="pallas_interpret")
+    sh, gsh = jax.jit(jax.value_and_grad(loss_fn))(params, batch, pos_weight)
+    assert calls["front"] >= 2 and calls["epilog"] >= 2, calls
+    np.testing.assert_allclose(float(sh), float(ref), rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gsh),
+                    jax.tree_util.tree_leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
