@@ -84,8 +84,22 @@ def dfs(
     neighbors: Dict[int, List[int]],
     start: int,
     avoid: Set[int],
+    max_gap: float = np.inf,
 ) -> Tuple[List[int], Set[int]]:
-    """One guided DFS from ``start`` (``algorithms.py:60-124``)."""
+    """One guided DFS from ``start`` (``algorithms.py:60-124``).
+
+    ``max_gap`` bounds the gap-jump fallback (``algorithms.py:97-106``,
+    unbounded in the reference): a genuine coverage gap at 32× is at most
+    a few kb, while a *repeat teleport* — a dead-end inside a collapsed
+    repeat whose only remaining graph child sits at a copy Mb away —
+    also satisfies ``start > current end`` and, unbounded, poisons the
+    labels catastrophically: the accepted walk's end sets
+    ``largest_visited`` and the monotone acceptance rule
+    (``algorithms.py:160-167``) then silently discards every component
+    behind the jump (observed: 40%+ of a chromosome labeled negative).
+    Bounding the jump makes the walk END at the dead-end instead, so the
+    skipped region keeps its own walks. ``np.inf`` = reference-exact.
+    """
     n = len(read_start)
     stack = [start]
     visited = np.zeros(n, dtype=bool)
@@ -115,13 +129,15 @@ def dfs(
                 continue
             tmp.append(node)
         if not tmp:
-            # fallback: allow jumping a coverage gap (algorithms.py:97-106)
+            # fallback: allow jumping a coverage gap (algorithms.py:97-106),
+            # bounded by max_gap (see docstring; reference is unbounded)
             for node in neighbors.get(current, []):
                 if visited[node] or read_strand[node] == -1:
                     continue
                 if read_start[node] < read_start[current]:
                     continue
-                if read_start[node] > read_end[current]:
+                if (read_start[node] > read_end[current]
+                        and read_start[node] - read_end[current] <= max_gap):
                     tmp.append(node)
 
         tmp.sort(key=lambda x: -read_start[x])
@@ -166,6 +182,7 @@ def get_gt_edges(
     read_strand: np.ndarray,
     neighbors: Dict[int, List[int]],
     edges: Dict[Tuple[int, int], int],
+    max_gap: float = np.inf,
 ) -> Tuple[Set[int], Set[int]]:
     """All correct edge ids, (positive strand, negative strand)
     (``algorithms.py:148-186``)."""
@@ -182,7 +199,8 @@ def get_gt_edges(
 
     while all_nodes:
         start = min(all_nodes, key=lambda x: read_start[x])
-        walk, visited = dfs(read_start, read_end, read_strand, neighbors, start, all_visited)
+        walk, visited = dfs(read_start, read_end, read_strand, neighbors,
+                            start, all_visited, max_gap=max_gap)
         if read_end[walk[-1]] < largest_visited or len(walk) == 1:
             all_nodes -= visited
             all_visited |= visited
@@ -202,11 +220,22 @@ def get_gt_edges(
 
 
 def edge_labels(
-    parsed, neighbors: Dict[int, List[int]], edges: Dict[Tuple[int, int], int]
+    parsed, neighbors: Dict[int, List[int]], edges: Dict[Tuple[int, int], int],
+    max_gap: float = None,
 ) -> np.ndarray:
-    """float32[E] 0/1 labels (``graph_parser.py:307-309``)."""
+    """float32[E] 0/1 labels (``graph_parser.py:307-309``).
+
+    ``max_gap=None`` derives the gap-jump bound from the read-length
+    distribution (4× the median read length — orders of magnitude above
+    any genuine 32× coverage gap, orders below a repeat teleport; see
+    :func:`dfs`). Pass ``np.inf`` for the reference's unbounded behavior.
+    """
+    if max_gap is None:
+        lengths = parsed.read_end - parsed.read_start
+        max_gap = 4.0 * float(np.median(lengths)) if len(lengths) else np.inf
     pos_e, neg_e = get_gt_edges(
-        parsed.read_start, parsed.read_end, parsed.read_strand, neighbors, edges
+        parsed.read_start, parsed.read_end, parsed.read_strand, neighbors,
+        edges, max_gap=max_gap,
     )
     labels = pos_e | neg_e
     y = np.zeros(parsed.n_edges, dtype=np.float32)

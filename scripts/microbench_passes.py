@@ -4,15 +4,18 @@ scale — the inputs to PERFORMANCE.md's roofline accounting.
 Op-level device traces are unavailable under the axon remote runtime
 (PERFORMANCE.md), so the speed-of-light analysis is built from isolated
 pass timings on the same 1M-edge bench graph the headline number uses.
-Each pass is jitted alone and timed with value-fetch syncs (the only true
-sync under axon).
+
+Measurement method: each pass runs ``BENCH_ITERS`` times inside ONE
+``lax.fori_loop`` on device, with the pass output chained back into one of
+its inputs (so XLA cannot hoist the loop-invariant body) — host dispatch
+and tunnel latency are paid once per pass, not once per iteration (a
+per-call loop measures ~1s for a 3 ms kernel under the axon runtime).
 
 Usage: python scripts/microbench_passes.py   (env: BENCH_NODES/BENCH_EDGES/
 BENCH_DTYPE/BENCH_ITERS as bench.py)
 """
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -40,108 +43,107 @@ def main() -> None:
     graph, e_real = build_bench_graph(n_nodes, n_edges)
     n_pad, e_pad = graph.n_nodes_padded, graph.n_edges_padded
     print(f"graph: {graph.n_nodes}/{n_pad} nodes, {e_real}/{e_pad} edges, "
-          f"D={d} {dtype.__name__}, backend={backend}", flush=True)
+          f"D={d} {dtype.__name__}, backend={backend}, iters={iters}",
+          flush=True)
 
     rng = np.random.default_rng(0)
-    nodes = jnp.asarray(rng.standard_normal((n_pad, d)), dtype)
-    nodes2 = jnp.asarray(rng.standard_normal((n_pad, d)), dtype)
-    edges = jnp.asarray(rng.standard_normal((e_pad, d)), dtype)
-    edges2 = jnp.asarray(rng.standard_normal((e_pad, d)), dtype)
-    w = jnp.asarray(rng.standard_normal((d, d)) * 0.05, dtype)
-    b = jnp.asarray(rng.standard_normal(d) * 0.05, dtype)
+    nodes = jnp.asarray(rng.standard_normal((n_pad, d)) * 0.1, dtype)
+    nodes2 = jnp.asarray(rng.standard_normal((n_pad, d)) * 0.1, dtype)
+    edges = jnp.asarray(rng.standard_normal((e_pad, d)) * 0.1, dtype)
+    edges2 = jnp.asarray(rng.standard_normal((e_pad, d)) * 0.1, dtype)
+    w = jnp.asarray(rng.standard_normal((d, d)) * 0.02, dtype)
+    b = jnp.asarray(rng.standard_normal(d) * 0.02, dtype)
     affine = jnp.asarray(np.stack([np.ones(d), np.zeros(d)]), jnp.float32)
     dst_key = jnp.where(graph.edge_mask, graph.dst, PAD_SEGMENT)
     src_key = jnp.where(graph.edge_mask, graph.src, PAD_SEGMENT)
 
-    def timeit(name, fn, *args):
-        jfn = jax.jit(fn)
-        out = jfn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]  # sync
+    def timeit(name, fn, chain, *args, chain_arg=0):
+        """fn(*args) -> out; chain(out, old_arg) -> replacement for
+        args[chain_arg] so the loop body stays data-dependent."""
+
+        def run(*a):
+            a = list(a)
+
+            def body(_i, a_t):
+                a_t = list(a_t)
+                out = fn(*a_t)
+                a_t[chain_arg] = chain(out, a_t[chain_arg])
+                return tuple(a_t)
+
+            out = jax.lax.fori_loop(0, iters, body, tuple(a))
+            return out[chain_arg]
+
+        jfn = jax.jit(run)
+        res = jfn(*args)
+        _ = np.asarray(res)[:1, :1]  # sync (compile + warm run)
         t0 = time.time()
-        for _i in range(iters):
-            out = jfn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
+        res = jfn(*args)
+        _ = np.asarray(res)[:1, :1]
         dt = (time.time() - t0) / iters * 1e3
-        gb = None
-        print(f"{name:42s} {dt:8.2f} ms", flush=True)
+        print(f"{name:44s} {dt:8.2f} ms", flush=True)
         return dt
 
     from gnnome_tpu.ops.segment import (
         _fused_sigma_reverse_unsorted,
         fused_gate_front,
         fused_gate_sigma_gather,
-        gather_by_endpoint,
         segment_sum_csr,
         take_rows,
     )
 
+    same = lambda out, old: out.astype(old.dtype)
     results = {}
-    # --- memory floor references ---
-    results["elementwise [E,D] r+w"] = timeit(
-        "elementwise [E,D] read+write", lambda x: x * 1.0001, edges)
-    results["elementwise [E,2D] r+w"] = timeit(
-        "elementwise [E,2D] read+write", lambda x, y: (x * 1.0001, y * 1.0001),
-        edges, edges2)
+    # --- memory floor references (chain: out -> in) ---
+    results["elementwise_ED"] = timeit(
+        "elementwise [E,D] read+write", lambda x: x * 1.0001, same, edges)
+    results["matmul_NDD"] = timeit(
+        "dense [N,D]x[D,D] matmul",
+        lambda h: jnp.dot(h, w, preferred_element_type=dtype), same, nodes)
 
     # --- forward suite (the three passes of the headline path) ---
     results["gate_front"] = timeit(
         "gate_front (dual gather + B3 + moments)",
-        lambda b1, b2, e: fused_gate_front(
+        lambda e, b1, b2: fused_gate_front(
             b1, b2, e, w, b, graph.src, graph.dst,
             (graph.by_src, graph.by_dst), n_pad, e_real, backend),
-        nodes, nodes2, edges)
+        lambda out, old: out[0].astype(old.dtype), edges, nodes, nodes2)
     results["epilog_gather"] = timeit(
         "fused_gate_sigma_gather (epilog+gather)",
         lambda g, e, v: fused_gate_sigma_gather(
             g, e, v, affine, (dst_key, graph.src), graph.by_dst,
             graph.by_src, n_pad, backend),
-        edges, edges2, nodes)
+        lambda out, old: out[1].astype(old.dtype), edges, edges2, nodes)
     if graph.by_src.canon_banded:
         results["reverse_unsorted"] = timeit(
             "fused_sigma_reverse_unsorted (opposite)",
             lambda v, g: _fused_sigma_reverse_unsorted(
                 v, g, src_key, graph.dst, graph.by_src, graph.by_dst,
                 n_pad, backend),
-            nodes, edges)
+            lambda out, old: out[:, :d].astype(old.dtype), nodes, edges)
 
-    # --- backward building blocks ---
-    results["epilog_bwd"] = timeit(
-        "epilog fwd+bwd (grad of sum)",
-        jax.grad(lambda g, e, v: jnp.sum(fused_gate_sigma_gather(
-            g, e, v, affine, (dst_key, graph.src), graph.by_dst,
-            graph.by_src, n_pad, backend)[0].astype(jnp.float32)),
-            argnums=(0, 1, 2)),
-        edges, edges2, nodes)
-    results["segsum identity"] = timeit(
+    # --- backward: full epilog VJP chain (recomputed gather + grads) ---
+    results["epilog_fwd_bwd"] = timeit(
+        "epilog fwd+bwd (value_and_grad)",
+        lambda g, e, v: jax.grad(
+            lambda gg: jnp.sum(fused_gate_sigma_gather(
+                gg, e, v, affine, (dst_key, graph.src), graph.by_dst,
+                graph.by_src, n_pad, backend)[0].astype(jnp.float32))
+        )(g),
+        same, edges, edges2, nodes)
+
+    # --- primitive building blocks ---
+    results["segsum_identity"] = timeit(
         "segment_sum identity (dst-sorted)",
         lambda e: segment_sum_csr(e, graph.by_dst, n_pad, backend=backend),
+        lambda out, old: old * (1.0 + out[0, 0].astype(jnp.float32) * 1e-30).astype(old.dtype),
         edges)
-    results["segsum permuted"] = timeit(
-        "segment_sum non-identity (by_src)",
-        lambda e: segment_sum_csr(e, graph.by_src, n_pad, backend=backend),
-        edges)
-    results["banded take nodes"] = timeit(
-        "banded take [N,D] by src plan",
+    results["banded_take_nodes"] = timeit(
+        "banded take [N,D] rows by src plan",
         lambda v: take_rows(v, graph.src, graph.by_src.key_plan, backend),
-        nodes)
-    results["gather_by_endpoint"] = timeit(
-        "gather_by_endpoint (fwd+VJP-free)",
-        lambda v: gather_by_endpoint(v, graph.src, graph.by_src, n_pad, backend),
+        lambda out, old: old * (1.0 + out[0, 0].astype(jnp.float32) * 1e-30).astype(old.dtype),
         nodes)
 
-    # --- dense matmul reference (the six [N,D]x[D,D] projections) ---
-    results["matmul NxDxD"] = timeit(
-        "dense [N,D]x[D,D] matmul",
-        lambda h: jnp.dot(h, w, preferred_element_type=dtype), nodes)
-    results["score head"] = timeit(
-        "score head (split matmuls + gathers)",
-        lambda h, e: jnp.dot(
-            jnp.take(h, graph.src, axis=0) + jnp.take(h, graph.dst, axis=0),
-            w[:, :64], preferred_element_type=dtype) + jnp.dot(
-            e, w[:, :64], preferred_element_type=dtype),
-        nodes, edges)
-
-    print("\nsummary (ms):", {k: round(v, 2) for k, v in results.items()},
+    print("\nsummary_ms " + " ".join(f"{k}={v:.2f}" for k, v in results.items()),
           flush=True)
 
 

@@ -109,3 +109,56 @@ def test_resolve_distribution_vendored(tmp_path):
     assert resolve_distribution("chr19", str(tmp_path)) == p
     # unknown chromosome -> None (clipped-normal fallback)
     assert resolve_distribution("chrNOPE", str(tmp_path)) is None
+
+
+def test_oracle_bounded_gap_jump():
+    """The gap-jump bound stops repeat teleports from poisoning labels.
+
+    Chain A (nodes 0..2) dead-ends at node 2 whose only remaining graph
+    child teleports 1 Mb ahead to chain B (nodes 3..5). Unbounded
+    (reference semantics), the accepted walk jumps A->B and the monotone
+    acceptance rule then discards the middle chain C (nodes 6..8) living
+    between them -- its edges get labeled negative. Bounded, the walk ends
+    at the dead-end and every chain keeps its true-positive edges."""
+    import numpy as np
+    from gnnome_tpu.data.oracle import get_gt_edges
+
+    # positive-strand nodes at even ids (mirrors use ^1)
+    starts = {0: 0, 2: 800, 4: 1600,            # chain A
+              6: 2400, 8: 3200, 10: 4000,       # chain C (after A)
+              12: 1_000_000, 14: 1_000_800}     # chain B (teleport target)
+    n = 16
+    read_start = np.zeros(n, np.int64)
+    read_end = np.zeros(n, np.int64)
+    read_strand = np.full(n, -1, np.int8)
+    for node, s in starts.items():
+        read_start[node] = s
+        read_end[node] = s + 1000
+        read_strand[node] = 1
+    neighbors = {
+        0: [2], 2: [4], 4: [12],        # A dead-ends into the teleport
+        6: [8], 8: [10], 10: [],
+        12: [14], 14: [],
+    }
+    neighbors = {k: v for k, v in neighbors.items()}
+    edges = {}
+    for srcn, dsts in neighbors.items():
+        for dstn in dsts:
+            edges[(srcn, dstn)] = len(edges)
+            edges[(dstn ^ 1, srcn ^ 1)] = len(edges)
+
+    pos_unbounded, _ = get_gt_edges(
+        read_start, read_end, read_strand, neighbors, edges, max_gap=np.inf)
+    pos_bounded, _ = get_gt_edges(
+        read_start, read_end, read_strand, neighbors, edges, max_gap=10_000)
+
+    c_edges = {edges[(6, 8)], edges[(8, 10)]}
+    # reference semantics: the teleporting walk A->B sets largest_visited
+    # to 1 Mb; chain C is then discarded (the poisoning this test pins)
+    assert not (c_edges & pos_unbounded)
+    # bounded: A ends at its dead-end; C and B get their own walks
+    assert c_edges <= pos_bounded
+    assert edges[(0, 2)] in pos_bounded and edges[(2, 4)] in pos_bounded
+    assert edges[(12, 14)] in pos_bounded
+    # the teleport edge itself is never a positive label
+    assert edges[(4, 12)] not in pos_bounded
