@@ -59,27 +59,34 @@ def main() -> None:
 
     def timeit(name, fn, chain, *args, chain_arg=0):
         """fn(*args) -> out; chain(out, old_arg) -> replacement for
-        args[chain_arg] so the loop body stays data-dependent."""
+        args[chain_arg] so the loop body stays data-dependent.
 
-        def run(*a):
-            a = list(a)
+        Times a device-side fori_loop at two iteration counts and reports
+        the difference — the constant costs (dispatch, tunnel latency,
+        scalar fetch) cancel, so only the per-iteration device time
+        remains. Output is a SCALAR (fetching a full [E, D] result would
+        itself cost ~900 ms of tunnel transfer)."""
 
+        def run(n, *a):
             def body(_i, a_t):
                 a_t = list(a_t)
                 out = fn(*a_t)
                 a_t[chain_arg] = chain(out, a_t[chain_arg])
                 return tuple(a_t)
 
-            out = jax.lax.fori_loop(0, iters, body, tuple(a))
-            return out[chain_arg]
+            out = jax.lax.fori_loop(0, n, body, tuple(a))
+            return out[chain_arg].reshape(-1)[0].astype(jnp.float32)
 
         jfn = jax.jit(run)
-        res = jfn(*args)
-        _ = np.asarray(res)[:1, :1]  # sync (compile + warm run)
+        lo, hi = 4, 4 + iters
+        _ = float(jfn(lo, *args))  # compile + warm
         t0 = time.time()
-        res = jfn(*args)
-        _ = np.asarray(res)[:1, :1]
-        dt = (time.time() - t0) / iters * 1e3
+        _ = float(jfn(lo, *args))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        _ = float(jfn(hi, *args))
+        t_hi = time.time() - t0
+        dt = (t_hi - t_lo) / iters * 1e3
         print(f"{name:44s} {dt:8.2f} ms", flush=True)
         return dt
 
