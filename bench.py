@@ -161,10 +161,16 @@ def main() -> None:
         )
         mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
         batch = prepare_batch([sample], mesh)
-        sstep = make_sharded_train_step(mesh, backend=primary, compute_dtype=dtype)
+        # Same remat regime as the single-device step: 'layer' remat would
+        # stack [L, E, D] bf16 scan carries (~15 GB at 16x1M x256) and blow
+        # HBM at full bench scale.
+        sstep = make_sharded_train_step(mesh, backend=primary, compute_dtype=dtype,
+                                        remat=remat, remat_group=remat_group)
         opt2 = make_optimizer()
         s2 = set_lr(opt2.init(params), 1e-3)
-        p2 = params
+        # the sharded step donates its params/opt buffers; give it a copy
+        # so the single-device bench below can still use `params`
+        p2 = jax.tree.map(jnp.array, params)
         t0 = time.time()
         p2, s2, loss = sstep(p2, s2, batch, jnp.float32(0.5))
         log(f"sharded@1: compile+first {time.time()-t0:.1f}s loss={float(loss):.4f}")

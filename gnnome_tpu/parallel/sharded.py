@@ -924,13 +924,31 @@ def make_sharded_loss(
     return loss_fn
 
 
+def replicate_to_mesh(tree, mesh: Mesh):
+    """device_put every array leaf replicated over ``mesh`` (spec ``P()``).
+
+    Call this on params/opt_state BEFORE the first sharded-step call: the
+    step's outputs carry mesh ``NamedSharding``s, so feeding them back into
+    a step whose first call saw plain single-device arrays changes the
+    input signature and triggers a second, SILENT compile mid-loop — on
+    the remote-AOT TPU toolchain that is minutes of wall clock that
+    benchmarks misread as a 10-70x per-step slowdown. No-op (same
+    buffers) when the leaves already carry this sharding."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
 def make_sharded_train_step(
     mesh: Mesh, batch_norm: bool = True, remat: str = "layer",
     backend: Optional[str] = None, compute_dtype: str = "float32",
     remat_group: int = 4,
 ):
     """Full distributed training step: loss + grads (reduced over the mesh)
-    + Adam update. Params live replicated; batch sharded data×graph."""
+    + Adam update. Params live replicated; batch sharded data×graph.
+
+    The returned callable pins params/opt_state to the replicated mesh
+    sharding on entry (``replicate_to_mesh``), so chained use
+    (``p, s, l = step(p, s, ...)``) keeps ONE jit signature from the first
+    call on — see replicate_to_mesh's docstring for why that matters."""
     import optax
 
     from gnnome_tpu.train.loop import make_optimizer
@@ -941,10 +959,16 @@ def make_sharded_train_step(
     opt = make_optimizer()
 
     @functools.partial(jax.jit, donate_argnames=("params", "opt_state"))
-    def step(params, opt_state, batch: ShardedBatch, pos_weight):
+    def _step(params, opt_state, batch: ShardedBatch, pos_weight):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, pos_weight)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, batch: ShardedBatch, pos_weight):
+        # no-op for arrays already replicated on this mesh (step outputs)
+        params = replicate_to_mesh(params, mesh)
+        opt_state = replicate_to_mesh(opt_state, mesh)
+        return _step(params, opt_state, batch, pos_weight)
 
     return step
