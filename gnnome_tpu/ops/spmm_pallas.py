@@ -27,8 +27,11 @@ Backward pass of a segment-sum is a row gather, expressed directly in XLA.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
+
+from gnnome_tpu.core.graph import PAD_SEGMENT
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -51,7 +54,11 @@ def _pick_block_nodes(num_segments: int, prefer: int) -> int:
     segment-sum bottoms at bn=256 (4.3 -> 3.7 ms; it has half the accs of
     the fused kernels and re-rises at 512). NODE_PAD_MULTIPLE is 512 so
     single-chip graphs always divide; odd multiples (sharded locals,
-    custom pads) degrade gracefully to 256/128."""
+    custom pads) degrade gracefully to 256/128. ``GNNOME_BLOCK_NODES``
+    caps ``prefer`` for A/B sweeps (microbench_passes.py)."""
+    cap = os.environ.get("GNNOME_BLOCK_NODES")
+    if cap:
+        prefer = min(prefer, int(cap))
     for bn in (512, 256, 128):
         if bn <= prefer and num_segments % bn == 0:
             return bn
@@ -1540,6 +1547,8 @@ def _fused_gate_gather_kernel(
     chunk_lo_ref,  # SMEM int32[nblocks]
     chunk_hi_ref,  # SMEM int32[nblocks]
     w0_ref,  # SMEM int32[S * 2] src-plan window starts
+    cfirst_ref,  # SMEM int32[E/CHUNK] min real segment id per chunk
+    clast_ref,  # SMEM int32[E/CHUNK] max real segment id per chunk
     affine_ref,  # VMEM [2, D]: rows = scale2, bias2 (folded BN affine)
     graw_hbm,  # ANY [E, D] raw gate (pre-norm), CSR-sorted
     ein_hbm,  # ANY [E, D] residual edge state, CSR-sorted
@@ -1562,13 +1571,23 @@ def _fused_gate_gather_kernel(
     feat_dim: int,
     wr: int,
     group: int = 1,
+    sub: int = 0,
 ):
     """``_fused_gate_kernel`` with the neighbor-value gather folded in:
     instead of streaming a pregathered [E, D] ``vals`` table, each subrow
     DMAs its two banded windows of the [N, D] node table and selects rows
     on the MXU (``ops/banded.py`` one-hot pattern) — the pregathered table
     never exists in HBM (saves its write + read per forward execution and
-    0.5 GB of remat residency at 1M edges)."""
+    0.5 GB of remat residency at 1M edges).
+
+    ``sub > 0`` enables the SUBTILE accumulate: segment ids are sorted, so
+    a 1024-edge chunk's ids span ~E/N·1024 ≈ 154 rows at assembly-graph
+    degree — the one-hot accumulate runs on a [sub, LANE] window placed at
+    the chunk's first in-block id (8-aligned dynamic row offset into the
+    out block) instead of the full [block_nodes, LANE], cutting accumulate
+    MXU flops and acc read-modify-write traffic by block_nodes/sub. Chunks
+    whose in-block span exceeds ``sub`` (rare: hub nodes, pad boundary)
+    fall back to the full-block accumulate under ``pl.when``."""
     from gnnome_tpu.ops.banded import _select_matmul
 
     i = pl.program_id(0)
@@ -1625,9 +1644,12 @@ def _fused_gate_gather_kernel(
         start_chunk(0, lo)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+    sub_iota = (jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                if sub else None)
 
-    def body(c_rel, acc):
-        acc1, acc2 = acc
+    out_ref[...] = jnp.zeros((block_nodes, 2 * feat_dim), jnp.float32)
+
+    def body(c_rel, carry):
         c = lo + c_rel
         slot = jax.lax.rem(c_rel, 2)
         nxt = jax.lax.rem(c_rel + 1, 2)
@@ -1644,13 +1666,25 @@ def _fused_gate_gather_kernel(
         def _():
             out_dma(slot, c - 2).wait()
 
+        if sub:
+            blo = i * block_nodes
+            fi = cfirst_ref[c]
+            li = clast_ref[c]
+            off = pl.multiple_of(
+                jnp.clip(fi - blo, 0, block_nodes - sub) & ~7, 8)
+            # every real in-block id of this chunk fits the window: ids
+            # below blo + off cannot exist (fi is the chunk min and the
+            # 8-alignment only lowers the start), ids >= blo + block_nodes
+            # belong to later blocks and match nothing
+            narrow = jnp.minimum(li, blo + block_nodes - 1) < blo + off + sub
+            sub_ids = blo + off + sub_iota
+
         for r in range(SUBCHUNKS):
             gr = r // group
             if r % group == 0:
                 for wi in range(2):
                     window_dma(slot, c, gr, wi).wait()
             ids_row = ids_buf[slot, r : r + 1, :]
-            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
             sl = slice(r * LANE, (r + 1) * LANE)
             graw = g_buf[slot, sl, :].astype(jnp.float32)
             ein = e_buf[slot, sl, :].astype(jnp.float32)
@@ -1669,14 +1703,32 @@ def _fused_gate_gather_kernel(
             vdt = win_buf.dtype
             sv = (sig * v_rows).astype(vdt)
             sb = sig.astype(vdt)
-            acc1 = _acc_matmul(acc1, onehot, sv)
-            acc2 = _acc_matmul(acc2, onehot, sb)
-        out_dma(slot, c).start()
-        return acc1, acc2
+            if sub:
+                @pl.when(narrow)
+                def _():
+                    oh = (ids_row == sub_ids).astype(jnp.bfloat16)
+                    out_ref[pl.ds(off, sub), :feat_dim] = _acc_matmul(
+                        out_ref[pl.ds(off, sub), :feat_dim], oh, sv)
+                    out_ref[pl.ds(off, sub), feat_dim:] = _acc_matmul(
+                        out_ref[pl.ds(off, sub), feat_dim:], oh, sb)
 
-    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
-    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
-    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+                @pl.when(jnp.logical_not(narrow))
+                def _():
+                    oh = (ids_row == node_ids).astype(jnp.bfloat16)
+                    out_ref[:, :feat_dim] = _acc_matmul(
+                        out_ref[:, :feat_dim], oh, sv)
+                    out_ref[:, feat_dim:] = _acc_matmul(
+                        out_ref[:, feat_dim:], oh, sb)
+            else:
+                oh = (ids_row == node_ids).astype(jnp.bfloat16)
+                out_ref[:, :feat_dim] = _acc_matmul(
+                    out_ref[:, :feat_dim], oh, sv)
+                out_ref[:, feat_dim:] = _acc_matmul(
+                    out_ref[:, feat_dim:], oh, sb)
+        out_dma(slot, c).start()
+        return carry
+
+    jax.lax.fori_loop(0, hi - lo, body, 0)
 
     # drain outstanding e_new writes
     @pl.when(hi - lo >= 1)
@@ -1686,9 +1738,6 @@ def _fused_gate_gather_kernel(
     @pl.when(hi - lo >= 2)
     def _():
         out_dma(jax.lax.rem(hi - lo - 2, 2), hi - 2).wait()
-
-    out_ref[:, :feat_dim] = acc1
-    out_ref[:, feat_dim:] = acc2
 
 
 def fused_gate_sigma_gather_pallas(
@@ -1737,12 +1786,22 @@ def fused_gate_sigma_gather_pallas(
     ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
     vids_2d = value_ids.reshape(e_pad // LANE, LANE)
 
+    # per-chunk real-id ranges for the subtile accumulate (PAD rows are
+    # excluded so a trailing pad run cannot force the full-block path)
+    ids_ch = segment_ids_sorted.reshape(e_pad // ch, ch)
+    real_ch = ids_ch != PAD_SEGMENT
+    cfirst = jnp.min(jnp.where(real_ch, ids_ch, PAD_SEGMENT),
+                     axis=1).astype(jnp.int32)
+    clast = jnp.max(jnp.where(real_ch, ids_ch, -1), axis=1).astype(jnp.int32)
+    sub = 256 if (bn > 256 and os.environ.get("GNNOME_SUBTILE", "1") == "1") \
+        else 0
+
     kernel = functools.partial(
         _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
-        wr=value_plan.wr, group=value_plan.group,
+        wr=value_plan.wr, group=value_plan.group, sub=sub,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # affine, whole array
@@ -1787,7 +1846,7 @@ def fused_gate_sigma_gather_pallas(
             + e_pad * d * e_in_sorted.dtype.itemsize,
             transcendentals=e_pad * d,
         ),
-    )(chunk_lo, chunk_hi, value_plan.w0.reshape(-1), affine,
+    )(chunk_lo, chunk_hi, value_plan.w0.reshape(-1), cfirst, clast, affine,
       gate_raw_sorted, e_in_sorted, values_table, ids_2d, vids_2d)
     return sums, e_new
 

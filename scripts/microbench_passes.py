@@ -138,6 +138,54 @@ def main() -> None:
         )(g),
         same, edges, edges2, nodes)
 
+    # --- backward decomposition of the other two passes ---
+    results["gate_front_fwd_bwd"] = timeit(
+        "gate_front fwd+bwd (value_and_grad)",
+        lambda e, b1, b2: jax.grad(
+            lambda ee: jnp.sum(fused_gate_front(
+                b1, b2, ee, w, b, graph.src, graph.dst,
+                (graph.by_src, graph.by_dst), n_pad, e_real, backend,
+            )[0].astype(jnp.float32))
+        )(e),
+        same, edges, nodes, nodes2)
+    if graph.by_src.canon_banded:
+        results["reverse_fwd_bwd"] = timeit(
+            "reverse_unsorted fwd+bwd (value_and_grad)",
+            lambda v, g: jax.grad(
+                lambda gg: jnp.sum(_fused_sigma_reverse_unsorted(
+                    v, gg, src_key, graph.dst, graph.by_src, graph.by_dst,
+                    n_pad, backend).astype(jnp.float32))
+            )(g),
+            same, nodes, edges, chain_arg=1)
+
+    # --- whole layer: pins the glue the pass sum misses ---
+    if os.environ.get("BENCH_LAYER", "1") == "1":
+        from gnnome_tpu.models.gated_gcn import (
+            gated_gcn_layer,
+            init_gated_gcn_layer,
+        )
+
+        lp = init_gated_gcn_layer(jax.random.PRNGKey(0), d, dtype)
+
+        def layer_fwd(h, e):
+            h2, e2 = gated_gcn_layer(lp, graph, h, e, backend=backend)
+            return h2, e2
+
+        results["layer_fwd"] = timeit(
+            "gated_gcn_layer forward (whole layer)",
+            layer_fwd, lambda out, old: out[0].astype(old.dtype),
+            nodes, edges)
+
+        def layer_loss(h, e):
+            h2, e2 = gated_gcn_layer(lp, graph, h, e, backend=backend)
+            return (jnp.sum(h2.astype(jnp.float32))
+                    + jnp.sum(e2.astype(jnp.float32)))
+
+        results["layer_fwd_bwd"] = timeit(
+            "gated_gcn_layer fwd+bwd (whole layer)",
+            lambda h, e: jax.grad(layer_loss)(h, e),
+            same, nodes, edges)
+
     # --- primitive building blocks ---
     results["segsum_identity"] = timeit(
         "segment_sum identity (dst-sorted)",
