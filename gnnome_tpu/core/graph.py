@@ -90,6 +90,11 @@ class CSR:
     canon_hi: object = None  # Optional[int32[N_pad]]
     canon_banded: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # keyed endpoint in CANONICAL edge order, PAD-marked (int32[E_pad]):
+    # with canon_lo/hi this lets segment_sum_csr run the permutation-free
+    # unsorted segment-sum (ops/spmm_pallas.segment_sum_unsorted_pallas)
+    # for every transpose reduction over this CSR.
+    key_canonical: object = None  # Optional[int32[E_pad]]
 
 
 @jax.tree_util.register_dataclass
@@ -213,6 +218,8 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         canon_lo=canon_lo,
         canon_hi=canon_hi,
         canon_banded=canon_banded,
+        key_canonical=(None if key_canonical is None
+                       else jnp.asarray(key_canonical.astype(np.int32))),
     )
 
 

@@ -192,6 +192,11 @@ def main() -> None:
         lambda e: segment_sum_csr(e, graph.by_dst, n_pad, backend=backend),
         lambda out, old: old * (1.0 + out[0, 0].astype(jnp.float32) * 1e-30).astype(old.dtype),
         edges)
+    results["segsum_by_src"] = timeit(
+        "segment_sum by_src (permute + sorted sum)",
+        lambda e: segment_sum_csr(e, graph.by_src, n_pad, backend=backend),
+        lambda out, old: old * (1.0 + out[0, 0].astype(jnp.float32) * 1e-30).astype(old.dtype),
+        edges)
     results["banded_take_nodes"] = timeit(
         "banded take [N,D] rows by src plan",
         lambda v: take_rows(v, graph.src, graph.by_src.key_plan, backend),

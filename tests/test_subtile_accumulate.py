@@ -120,6 +120,27 @@ def test_subtile_matches_xla(rng, extra, branch):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_unsorted_segment_sum_by_src(rng):
+    """segment_sum_csr over by_src takes the permutation-free unsorted
+    kernel on banded graphs (csr.key_canonical + canon_lo/hi) and matches
+    the xla permute+sorted lowering."""
+    from gnnome_tpu.ops.segment import segment_sum_csr
+
+    for extra in (5.0, 0.05):
+        g = _graph(rng, 500, extra)
+        data = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (g.n_edges_padded, D)), jnp.float32)
+        ref = segment_sum_csr(data, g.by_src, g.n_nodes_padded,
+                              backend="xla")
+        if g.by_src.canon_banded:
+            assert g.by_src.key_canonical is not None
+        got = segment_sum_csr(data, g.by_src, g.n_nodes_padded,
+                              backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_subtile_off_matches(rng, monkeypatch):
     """GNNOME_SUBTILE=0 (full-block accumulate) agrees with the default."""
     monkeypatch.setenv("GNNOME_SUBTILE", "0")
