@@ -643,8 +643,29 @@ def _rev_unsorted_fwd(values, gate_pre, src_key, dst_ids, csr_src, by_dst,
 def _rev_unsorted_bwd(num_segments, backend, res, g):
     values, gate_pre, src_key, dst_ids, csr_src, by_dst = res
     d = gate_pre.shape[-1]
-    # everything in canonical order; PAD src keys select zero gc rows so
-    # both per-edge grads vanish on padding without an explicit mask
+    pallas = backend in ("pallas", "pallas_interpret") or (
+        backend is None and default_backend() == "pallas")
+    if pallas and _fusion_level() >= 3 and d % 128 == 0 \
+            and csr_src.key_plan is not None and csr_src.key_plan.ok \
+            and by_dst.key_plan is not None and by_dst.key_plan.ok:
+        # fused backward: both gathers (cotangent on near-sorted src ids,
+        # value regather on sorted dst ids) + the σ′ chain in ONE pass —
+        # the [E, 2D]/[E, D] gathered tables never exist in HBM
+        # (spmm_pallas.rev_bwd_pallas)
+        from gnnome_tpu.ops.spmm_pallas import rev_bwd_pallas
+
+        d_gate, d_v_rows = rev_bwd_pallas(
+            gate_pre, g.astype(gate_pre.dtype), values, src_key, dst_ids,
+            csr_src.key_plan, by_dst.key_plan,
+            interpret=(backend == "pallas_interpret"),
+        )
+        d_values = segment_sum_csr(d_v_rows, by_dst, values.shape[0],
+                                   backend=backend).astype(values.dtype)
+        return d_values, d_gate, None, None, None, None
+
+    # XLA composition: everything in canonical order; PAD src keys select
+    # zero gc rows so both per-edge grads vanish on padding without an
+    # explicit mask
     gc = take_rows(g.astype(gate_pre.dtype), src_key, csr_src.key_plan,
                    backend, masked=True)
     v = take_rows(values, dst_ids, by_dst.key_plan, backend)

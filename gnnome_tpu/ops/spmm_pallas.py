@@ -150,6 +150,179 @@ def _segment_sum_kernel(
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _segment_sum_sub_kernel(
+    chunk_lo_ref,  # SMEM int32[nblocks]  (scalar prefetch)
+    chunk_hi_ref,  # SMEM int32[nblocks]  (scalar prefetch)
+    data_hbm,  # ANY  [E, D]
+    ids_hbm,  # ANY  int32[E // LANE, LANE]
+    out_ref,  # VMEM f32[BN, D] block
+    data_buf,  # VMEM [slots, CHUNK, D] scratch
+    ids_buf,  # VMEM int32[slots, SUBCHUNKS, LANE] scratch
+    sems,  # DMA sems [slots, 2]
+    *,
+    block_nodes: int,
+    out_dim: int,
+    sub: int,
+    slots: int,
+    split: bool,
+):
+    """``_segment_sum_kernel`` with a SUBTILE accumulate and a deeper DMA
+    pipeline. Per 1024-edge chunk the in-BLOCK id span is derived on the
+    VPU from the ids tile itself (min/max of ids clamped to the block), so
+    it needs no host-side per-chunk metadata and works for BOTH callers:
+    sorted ids (identity CSR) and unsorted canonical ids (the
+    permutation-free transpose reduction), where a chunk's ids are not
+    sorted but — on banded graphs — still span a narrow row range. When
+    the span fits ``sub`` rows the 8 one-hot accumulates run on a
+    [sub, LANE] window at a dynamic 8-aligned offset into the out block
+    (``block_nodes/sub``× less accumulate MXU work and VMEM RMW traffic);
+    chunks with no in-block ids are skipped outright — the unsorted
+    caller's ~1.7× chunk-duplication factor becomes DMA-only. ``slots``
+    deepens the chunk pipeline beyond double-buffering; ``split`` breaks
+    the 8-dot accumulate dependency chain into two interleaved chains."""
+    i = pl.program_id(0)
+    lo = chunk_lo_ref[i]
+    hi = chunk_hi_ref[i]
+    blo = i * block_nodes
+    node_ids = blo + jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, 1), 0
+    )
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+
+    def data_dma(slot, c):
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+            data_buf.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def ids_dma(slot, c):
+        return pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+            ids_buf.at[slot],
+            sems.at[slot, 1],
+        )
+
+    for k in range(slots - 1):
+        @pl.when(lo + k < hi)
+        def _(k=k):
+            data_dma(k, lo + k).start()
+            ids_dma(k, lo + k).start()
+
+    out_ref[...] = jnp.zeros((block_nodes, out_dim), jnp.float32)
+
+    def accumulate(acc, ids_slot_ref, data_slot_ref, row_ids):
+        acc2 = jnp.zeros_like(acc) if split else None
+        for r in range(SUBCHUNKS):
+            ids_row = ids_slot_ref[r : r + 1, :]  # [1, LANE]
+            onehot = (ids_row == row_ids).astype(jnp.bfloat16)
+            tile = data_slot_ref[r * LANE : (r + 1) * LANE, :]
+            if split and r % 2 == 1:
+                acc2 = _acc_matmul(acc2, onehot, tile)
+            else:
+                acc = _acc_matmul(acc, onehot, tile)
+        return acc + acc2 if split else acc
+
+    def body(c_rel, carry):
+        c = lo + c_rel
+        slot = jax.lax.rem(c_rel, slots)
+
+        @pl.when(c + slots - 1 < hi)
+        def _():
+            nxt = jax.lax.rem(c_rel + slots - 1, slots)
+            data_dma(nxt, c + slots - 1).start()
+            ids_dma(nxt, c + slots - 1).start()
+
+        data_dma(slot, c).wait()
+        ids_dma(slot, c).wait()
+
+        idsv = ids_buf[slot]  # [SUBCHUNKS, LANE]
+        inb = jnp.logical_and(idsv >= blo, idsv < blo + block_nodes)
+        lo_id = jnp.min(jnp.where(inb, idsv, PAD_SEGMENT))
+        hi_id = jnp.max(jnp.where(inb, idsv, -1))
+        off = pl.multiple_of(
+            jnp.clip(lo_id - blo, 0, block_nodes - sub) & ~7, 8)
+        narrow = hi_id < blo + off + sub
+
+        # hi_id < 0: no id of this chunk lands in the block (the unsorted
+        # caller's duplicated-footprint chunks) — skip the math entirely
+        @pl.when(jnp.logical_and(narrow, hi_id >= 0))
+        def _():
+            sub_ids = blo + off + sub_iota
+            acc = accumulate(out_ref[pl.ds(off, sub), :],
+                             ids_buf.at[slot], data_buf.at[slot], sub_ids)
+            out_ref[pl.ds(off, sub), :] = acc
+
+        @pl.when(jnp.logical_not(narrow))
+        def _():
+            acc = accumulate(out_ref[...], ids_buf.at[slot],
+                             data_buf.at[slot], node_ids)
+            out_ref[...] = acc
+
+        return carry
+
+    jax.lax.fori_loop(0, hi - lo, body, 0)
+
+
+def _segsum_variant(num_segments: int):
+    """(sub, slots, split, prefer_bn) from env — the measured default is
+    set after the round-3 kernel sweep (PERFORMANCE.md)."""
+    sub = int(os.environ.get("GNNOME_SEGSUM_SUB", "256"))
+    slots = int(os.environ.get("GNNOME_SEGSUM_SLOTS", "2"))
+    split = os.environ.get("GNNOME_SEGSUM_SPLIT", "0") == "1"
+    if sub:
+        bn = _pick_block_nodes(
+            num_segments, int(os.environ.get("GNNOME_SEGSUM_BN", "512")))
+        if sub >= bn:
+            sub = 0
+            bn = _pick_block_nodes(num_segments, 256)
+    else:
+        bn = _pick_block_nodes(num_segments, 256)
+    return sub, max(slots, 2), split, bn
+
+
+def _launch_segment_sum(data2d, ids_2d, chunk_lo, chunk_hi, num_segments,
+                        bn, sub, slots, split, interpret):
+    e_pad, d = data2d.shape
+    nblocks = num_segments // bn
+    if sub:
+        kernel = functools.partial(
+            _segment_sum_sub_kernel, block_nodes=bn, out_dim=d, sub=sub,
+            slots=slots, split=split)
+    else:
+        kernel = functools.partial(
+            _segment_sum_kernel, block_nodes=bn, out_dim=d)
+        slots = 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ids stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slots, CHUNK_EDGES, d), data2d.dtype),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((slots, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_segments, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * (sub or bn) * d,
+            bytes_accessed=e_pad * d * data2d.dtype.itemsize
+            + e_pad * 4 + num_segments * d * 4,
+            transcendentals=0,
+        ),
+    )(chunk_lo, chunk_hi, data2d, ids_2d)
+
+
 def _forward(
     data_sorted: jax.Array,
     segment_ids_sorted: jax.Array,
@@ -165,12 +338,12 @@ def _forward(
         out = _forward(data_sorted, segment_ids_sorted, offsets,
                        num_segments, interpret)
         return out[:, :d]
-    bn, ch = _pick_block_nodes(num_segments, 256), CHUNK_EDGES
+    sub, slots, split, bn = _segsum_variant(num_segments)
+    ch = CHUNK_EDGES
     assert e_pad % ch == 0, f"edge count {e_pad} not a multiple of {ch}"
     assert num_segments % bn == 0, (
         f"node count {num_segments} not a multiple of {bn}"
     )
-    nblocks = num_segments // bn
 
     # Per-node-block inclusive chunk ranges, derived from the CSR offsets.
     block_edge_lo = offsets[0:num_segments:bn]
@@ -179,40 +352,9 @@ def _forward(
     chunk_hi = ((block_edge_hi + ch - 1) // ch).astype(jnp.int32)
 
     ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
-
-    kernel = functools.partial(
-        _segment_sum_kernel,
-        block_nodes=bn,
-        out_dim=d,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # ids stay in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (bn, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ch, d), data_sorted.dtype),
-            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_segments, d), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * bn * d,
-            bytes_accessed=e_pad * d * data_sorted.dtype.itemsize
-            + e_pad * 4 + num_segments * d * 4,
-            transcendentals=0,
-        ),
-    )(chunk_lo, chunk_hi, data_sorted, ids_2d)
+    return _launch_segment_sum(data_sorted, ids_2d, chunk_lo, chunk_hi,
+                               num_segments, bn, sub, slots, split,
+                               interpret)
 
 
 def segment_sum_unsorted_pallas(
@@ -240,7 +382,8 @@ def segment_sum_unsorted_pallas(
             data_canonical, ids_canonical, canon_lo, canon_hi,
             num_segments, interpret)
         return out[:, :d]
-    bn, ch = _pick_block_nodes(num_segments, 256), CHUNK_EDGES
+    sub, slots, split, bn = _segsum_variant(num_segments)
+    ch = CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
     nblocks = num_segments // bn
     lo_b = canon_lo.reshape(nblocks, bn).min(axis=1)
@@ -249,36 +392,9 @@ def segment_sum_unsorted_pallas(
     chunk_hi = jnp.where(hi_b >= 0, hi_b // ch + 1, 0).astype(jnp.int32)
     chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
     ids_2d = ids_canonical.reshape(e_pad // LANE, LANE)
-
-    kernel = functools.partial(_segment_sum_kernel, block_nodes=bn, out_dim=d)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (bn, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ch, d), data_canonical.dtype),
-            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_segments, d), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * bn * d,
-            bytes_accessed=e_pad * d * data_canonical.dtype.itemsize
-            + e_pad * 4 + num_segments * d * 4,
-            transcendentals=0,
-        ),
-    )(chunk_lo, chunk_hi, data_canonical, ids_2d)
+    return _launch_segment_sum(data_canonical, ids_2d, chunk_lo, chunk_hi,
+                               num_segments, bn, sub, slots, split,
+                               interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -784,6 +900,172 @@ def epilog_bwd_pallas(
     return dgraw, denew, dvals, daff[:2]
 
 
+def _rev_bwd_kernel(
+    w0g_ref,  # SMEM int32[S * 2] g-gather window starts (src key plan)
+    w0v_ref,  # SMEM int32[S * 2] value window starts (dst plan)
+    key_ids_ref,  # VMEM int32[8, LANE] block: canonical src ids (PAD pads)
+    vids_ref,  # VMEM int32[8, LANE] block: clamped canonical dst ids
+    enew_ref,  # VMEM [CHUNK, D] block: e_new (canonical order)
+    gsums_hbm,  # ANY [N, 2D] output cotangent (compute dtype)
+    vtab_hbm,  # ANY [N, D] neighbor-value node table (A3·h)
+    dge_ref,  # VMEM [CHUNK, D] block out: d gate_pre (= d e_new)
+    dgv_ref,  # VMEM [CHUNK, D] block out: d value rows (canonical order)
+    wing_buf,  # VMEM [nslots, 2, wr_g, 2D]
+    winv_buf,  # VMEM [nslots, 2, wr_v, D]
+    sems,  # DMA sems [nslots, 2, 2]
+    *,
+    wr_g: int,
+    wr_v: int,
+    feat_dim: int,
+    total_groups: tuple,
+    nslots: int,
+    groups: tuple = (1, 1),  # (src key plan group, dst plan group)
+):
+    """Backward of the permutation-free reverse aggregation in ONE pass
+    per canonical edge chunk: the [E, 2D] cotangent gather keyed on the
+    near-sorted src ids and the [E, D] value regather keyed on the sorted
+    dst ids are both banded VMEM window selects in-kernel; σ′ runs on the
+    streamed e_new tile; the two [E, D] grads are the only full-edge HBM
+    writes. Replaces the XLA composition in ``segment._rev_unsorted_bwd``
+    (a [E, 2D] take + a [E, D] take + the elementwise chain = ~4 extra
+    full-edge HBM passes). PAD src keys select zero rows of the cotangent
+    (same semantics as ``take_rows(..., masked=True)``)."""
+    from gnnome_tpu.ops.banded import _select_matmul
+
+    c = pl.program_id(0)
+    gpc = tuple(SUBCHUNKS // g for g in groups)
+
+    def window_dma(slot, gg, wi, ti):
+        w0 = w0g_ref if ti == 0 else w0v_ref
+        buf = wing_buf if ti == 0 else winv_buf
+        hbm = gsums_hbm if ti == 0 else vtab_hbm
+        wr = wr_g if ti == 0 else wr_v
+        start = pl.multiple_of(w0[2 * gg + wi], 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, wr), :], buf.at[slot, wi],
+            sems.at[slot, wi, ti],
+        )
+
+    @pl.when(c == 0)
+    def _():
+        for ti in range(2):
+            for g0 in range(min(nslots, total_groups[ti])):
+                for wi in range(2):
+                    window_dma(g0 % nslots, g0, wi, ti).start()
+
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (wr_g, 1), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
+    for r in range(SUBCHUNKS):
+        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(2))
+        slot = tuple(gg[ti] % nslots for ti in range(2))
+        for ti in range(2):
+            if r % groups[ti] == 0:
+                for wi in range(2):
+                    window_dma(slot[ti], gg[ti], wi, ti).wait()
+        key_row = key_ids_ref[r : r + 1, :]  # [1, LANE] (PAD on padding)
+        vid_row = vids_ref[r : r + 1, :]
+        gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
+        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        for wi in range(2):
+            sel_g = (iota_g + w0g_ref[2 * gg[0] + wi] == key_row)
+            gc = gc + _select_matmul(
+                sel_g.astype(jnp.bfloat16), wing_buf[slot[0], wi])
+            sel_v = (iota_v + w0v_ref[2 * gg[1] + wi] == vid_row)
+            v_rows = v_rows + _select_matmul(
+                sel_v.astype(jnp.bfloat16), winv_buf[slot[1], wi])
+        g1 = gc[:, :feat_dim]
+        g2 = gc[:, feat_dim:]
+        sl = slice(r * LANE, (r + 1) * LANE)
+        sig = jax.nn.sigmoid(enew_ref[sl, :].astype(jnp.float32))
+        dsig = sig * (1.0 - sig)
+        dge_ref[sl, :] = ((g1 * v_rows + g2) * dsig).astype(dge_ref.dtype)
+        dgv_ref[sl, :] = (g1 * sig).astype(dgv_ref.dtype)
+
+        for ti in range(2):
+            if r % groups[ti] == groups[ti] - 1:
+                @pl.when(gg[ti] + nslots < total_groups[ti])
+                def _(ti=ti):
+                    for wi in range(2):
+                        window_dma(slot[ti], gg[ti] + nslots, wi, ti).start()
+
+
+def rev_bwd_pallas(
+    e_new: jax.Array,  # [E, D] canonical order (saved forward residual)
+    g_sums: jax.Array,  # [N, 2D] output cotangent (compute dtype)
+    values_table: jax.Array,  # [N, D] (A3·h)
+    key_ids: jax.Array,  # int32[E] canonical src ids (PAD on padding)
+    value_ids: jax.Array,  # int32[E] clamped canonical dst ids
+    key_plan,  # BandPlan over clamped canonical src ids (rows of g_sums)
+    value_plan,  # BandPlan over dst ids (rows of values_table)
+    interpret: bool = False,
+):
+    """(d_gate_pre, d_v_rows): the reverse-unsorted backward's per-edge
+    grads in one fused pass (see ``_rev_bwd_kernel``). The caller still
+    owns the transpose reduction of ``d_v_rows`` (a sorted segment-sum
+    over the identity ``by_dst``)."""
+    e_pad, d = e_new.shape
+    assert e_pad % CHUNK_EDGES == 0 and d % LANE == 0
+    assert key_plan.ok and value_plan.ok
+    per_slot = 2 * (2 * key_plan.wr + value_plan.wr) * d * 2
+    nslots = int(max(2, min(8, 5_000_000 // max(per_slot, 1))))
+    total_subrows = e_pad // LANE
+    nchunks = e_pad // CHUNK_EDGES
+
+    kernel = functools.partial(
+        _rev_bwd_kernel, wr_g=key_plan.wr, wr_v=value_plan.wr, feat_dim=d,
+        total_groups=(total_subrows // key_plan.group,
+                      total_subrows // value_plan.group),
+        nslots=nslots, groups=(key_plan.group, value_plan.group),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBCHUNKS, LANE), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # g_sums
+            pl.BlockSpec(memory_space=pl.ANY),  # values table
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_EDGES, d), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 2, key_plan.wr, 2 * d), g_sums.dtype),
+            pltpu.VMEM((nslots, 2, value_plan.wr, d), values_table.dtype),
+            pltpu.SemaphoreType.DMA((nslots, 2, 2)),
+        ],
+    )
+    dge, dgv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, d), e_new.dtype),
+            jax.ShapeDtypeStruct((e_pad, d), values_table.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * 2 * (2 * key_plan.wr + value_plan.wr) * d,
+            bytes_accessed=(e_pad // (LANE * key_plan.group)) * 2
+            * 2 * key_plan.wr * d * g_sums.dtype.itemsize
+            + (e_pad // (LANE * value_plan.group)) * 2
+            * value_plan.wr * d * values_table.dtype.itemsize
+            + 3 * e_pad * d * 2 + 2 * e_pad * 4,
+            transcendentals=e_pad * d,
+        ),
+    )(key_plan.w0.reshape(-1), value_plan.w0.reshape(-1),
+      key_ids.reshape(total_subrows, LANE),
+      value_ids.reshape(total_subrows, LANE),
+      e_new, g_sums, values_table)
+    return dge, dgv
+
+
 def _opp_bwd_kernel(
     w0e_ref,  # SMEM int32[S * 2] order-plan window starts (e_new, E-table)
     w0v_ref,  # SMEM int32[S * 2] opp-plan window starts (values, N-table)
@@ -1217,6 +1499,7 @@ def _fused_sigma_unsorted_kernel(
     feat_dim: int,
     wr: int,
     group: int,
+    sub: int = 0,
 ):
     """Reverse-direction gated aggregation WITHOUT the src sort: the one-hot
     segment-sum does not require sorted keys — only the per-block chunk
@@ -1227,15 +1510,28 @@ def _fused_sigma_unsorted_kernel(
     one-hots on the unsorted src ids; only the [N, D] value gather uses
     banded windows (the cheap, near-sorted dst plan). The src-sorted e_new
     copy, the order/inv permutation plans, and their window streams cease
-    to exist on this path."""
+    to exist on this path.
+
+    ``sub > 0``: SUBTILE accumulate — the in-block span of each chunk's
+    (unsorted) src ids is derived on the VPU from the ids tile itself;
+    when it fits ``sub`` rows, the 16 one-hot accumulates run on a
+    [sub, LANE] window at a dynamic 8-aligned offset into the out block
+    instead of the full [block_nodes, LANE] (same trick as
+    ``_segment_sum_sub_kernel``; on banded graphs canonical-order src ids
+    are near-sorted so most chunks fit). Chunks with no in-block ids —
+    the duplicated-footprint boundary chunks of the unsorted grid — skip
+    the math entirely."""
     from gnnome_tpu.ops.banded import _select_matmul
 
     i = pl.program_id(0)
     lo = chunk_lo_ref[i]
     hi = chunk_hi_ref[i]
-    node_ids = i * block_nodes + jax.lax.broadcasted_iota(
+    blo = i * block_nodes
+    node_ids = blo + jax.lax.broadcasted_iota(
         jnp.int32, (block_nodes, 1), 0
     )
+    sub_iota = (jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                if sub else None)
     gpc = SUBCHUNKS // group
 
     def in_dmas(slot, c):
@@ -1272,6 +1568,25 @@ def _fused_sigma_unsorted_kernel(
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
 
+    if sub:
+        out_ref[...] = jnp.zeros((block_nodes, 2 * feat_dim), jnp.float32)
+
+    def subrow_sums(slot, c, r):
+        """(σ·v, σ) tiles of subrow ``r`` (the value-window select + the
+        sigmoid), shared by the subtile and full-block accumulates."""
+        gr = r // group
+        vids_row = vids_buf[slot, r : r + 1, :]
+        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        for wi in range(2):
+            base = w0_ref[2 * (c * gpc + gr) + wi]
+            sel = (row_iota + base == vids_row)
+            v_rows = v_rows + _select_matmul(
+                sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
+        e_tile = e_buf[slot, r * LANE : (r + 1) * LANE, :]
+        sig = jax.nn.sigmoid(e_tile.astype(jnp.float32))
+        vdt = win_buf.dtype
+        return (sig * v_rows).astype(vdt), sig.astype(vdt)
+
     def body(c_rel, acc):
         acc1, acc2 = acc
         c = lo + c_rel
@@ -1284,37 +1599,67 @@ def _fused_sigma_unsorted_kernel(
 
         for d in in_dmas(slot, c):
             d.wait()
+        # semaphore discipline: every started window DMA must be waited,
+        # even for chunks whose math is skipped below
+        for gr in range(gpc):
+            for wi in range(2):
+                window_dma(slot, c, gr, wi).wait()
 
+        if sub:
+            idsv = ids_buf[slot]
+            inb = jnp.logical_and(idsv >= blo, idsv < blo + block_nodes)
+            lo_id = jnp.min(jnp.where(inb, idsv, PAD_SEGMENT))
+            hi_id = jnp.max(jnp.where(inb, idsv, -1))
+            off = pl.multiple_of(
+                jnp.clip(lo_id - blo, 0, block_nodes - sub) & ~7, 8)
+            narrow = hi_id < blo + off + sub
+
+            @pl.when(jnp.logical_and(narrow, hi_id >= 0))
+            def _():
+                sub_ids = blo + off + sub_iota
+                a1 = out_ref[pl.ds(off, sub), :feat_dim]
+                a2 = out_ref[pl.ds(off, sub), feat_dim:]
+                for r in range(SUBCHUNKS):
+                    ids_row = ids_buf[slot, r : r + 1, :]
+                    onehot = (ids_row == sub_ids).astype(jnp.bfloat16)
+                    sv, sb = subrow_sums(slot, c, r)
+                    a1 = _acc_matmul(a1, onehot, sv)
+                    a2 = _acc_matmul(a2, onehot, sb)
+                out_ref[pl.ds(off, sub), :feat_dim] = a1
+                out_ref[pl.ds(off, sub), feat_dim:] = a2
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                a1 = out_ref[:, :feat_dim]
+                a2 = out_ref[:, feat_dim:]
+                for r in range(SUBCHUNKS):
+                    ids_row = ids_buf[slot, r : r + 1, :]
+                    onehot = (ids_row == node_ids).astype(jnp.bfloat16)
+                    sv, sb = subrow_sums(slot, c, r)
+                    a1 = _acc_matmul(a1, onehot, sv)
+                    a2 = _acc_matmul(a2, onehot, sb)
+                out_ref[:, :feat_dim] = a1
+                out_ref[:, feat_dim:] = a2
+
+            return acc
         for r in range(SUBCHUNKS):
-            gr = r // group
-            if r % group == 0:
-                for wi in range(2):
-                    window_dma(slot, c, gr, wi).wait()
             # UNSORTED one-hot: src ids of this canonical subrow match
             # whichever of this block's nodes they name (PAD never matches)
             ids_row = ids_buf[slot, r : r + 1, :]
             onehot = (ids_row == node_ids).astype(jnp.bfloat16)
-            vids_row = vids_buf[slot, r : r + 1, :]
-            v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
-            for wi in range(2):
-                base = w0_ref[2 * (c * gpc + gr) + wi]
-                sel = (row_iota + base == vids_row)
-                v_rows = v_rows + _select_matmul(
-                    sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
-            e_tile = e_buf[slot, r * LANE : (r + 1) * LANE, :]
-            sig = jax.nn.sigmoid(e_tile.astype(jnp.float32))
-            vdt = win_buf.dtype
-            sv = (sig * v_rows).astype(vdt)
-            sb = sig.astype(vdt)
+            sv, sb = subrow_sums(slot, c, r)
             acc1 = _acc_matmul(acc1, onehot, sv)
             acc2 = _acc_matmul(acc2, onehot, sb)
         return acc1, acc2
 
-    acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
-    acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
-    acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
-    out_ref[:, :feat_dim] = acc1
-    out_ref[:, feat_dim:] = acc2
+    if sub:
+        jax.lax.fori_loop(0, hi - lo, body, (0, 0))
+    else:
+        acc1 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+        acc2 = jnp.zeros((block_nodes, feat_dim), jnp.float32)
+        acc1, acc2 = jax.lax.fori_loop(0, hi - lo, body, (acc1, acc2))
+        out_ref[:, :feat_dim] = acc1
+        out_ref[:, feat_dim:] = acc2
 
 
 def fused_sigma_unsorted_pallas(
@@ -1352,10 +1697,13 @@ def fused_sigma_unsorted_pallas(
     chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
     ids_2d = src_ids.reshape(e_pad // LANE, LANE)
     vids_2d = dst_ids.reshape(e_pad // LANE, LANE)
+    sub = int(os.environ.get("GNNOME_SIGMA_SUB", "256"))
+    if sub >= bn:
+        sub = 0
 
     kernel = functools.partial(
         _fused_sigma_unsorted_kernel, block_nodes=bn, feat_dim=d,
-        wr=dst_plan.wr, group=dst_plan.group,
+        wr=dst_plan.wr, group=dst_plan.group, sub=sub,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

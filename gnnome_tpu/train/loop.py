@@ -286,7 +286,7 @@ def train(
     from gnnome_tpu.utils.logging import MetricsLogger
 
     metrics_logger = MetricsLogger(
-        out_dir=os.path.join(tc.checkpoint_dir, "runs"), run_name=out,
+        out_dir=os.path.join(tc.checkpoint_dir, "runs"), run_name=run_name,
         config={"model": dataclasses.asdict(cfg.model),
                 "train": dataclasses.asdict(cfg.train)},
     )
