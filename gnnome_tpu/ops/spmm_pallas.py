@@ -267,8 +267,8 @@ def _segment_sum_sub_kernel(
 def _segsum_variant(num_segments: int):
     """(sub, slots, split, prefer_bn) from env — the measured default is
     set after the round-3 kernel sweep (PERFORMANCE.md)."""
-    sub = int(os.environ.get("GNNOME_SEGSUM_SUB", "256"))
-    slots = int(os.environ.get("GNNOME_SEGSUM_SLOTS", "2"))
+    sub = int(os.environ.get("GNNOME_SEGSUM_SUB", "192"))
+    slots = int(os.environ.get("GNNOME_SEGSUM_SLOTS", "4"))
     split = os.environ.get("GNNOME_SEGSUM_SPLIT", "0") == "1"
     if sub:
         bn = _pick_block_nodes(
