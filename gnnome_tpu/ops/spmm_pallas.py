@@ -1986,6 +1986,7 @@ def _fused_gate_gather_kernel(
     wr: int,
     group: int = 1,
     sub: int = 0,
+    slots: int = 2,
 ):
     """``_fused_gate_kernel`` with the neighbor-value gather folded in:
     instead of streaming a pregathered [E, D] ``vals`` table, each subrow
@@ -2001,7 +2002,11 @@ def _fused_gate_gather_kernel(
     out block) instead of the full [block_nodes, LANE], cutting accumulate
     MXU flops and acc read-modify-write traffic by block_nodes/sub. Chunks
     whose in-block span exceeds ``sub`` (rare: hub nodes, pad boundary)
-    fall back to the full-block accumulate under ``pl.when``."""
+    fall back to the full-block accumulate under ``pl.when``.
+
+    ``slots``: chunk-pipeline depth — input/window/e_new-staging buffers
+    rotate over ``slots`` slots with up to ``slots - 1`` chunks in flight
+    (GNNOME_EPILOG_SLOTS)."""
     from gnnome_tpu.ops.banded import _select_matmul
 
     i = pl.program_id(0)
@@ -2053,9 +2058,10 @@ def _fused_gate_gather_kernel(
             out_sem.at[slot],
         )
 
-    @pl.when(lo < hi)
-    def _():
-        start_chunk(0, lo)
+    for k in range(slots - 1):
+        @pl.when(lo + k < hi)
+        def _(k=k):
+            start_chunk(k, lo + k)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
     sub_iota = (jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
@@ -2065,20 +2071,20 @@ def _fused_gate_gather_kernel(
 
     def body(c_rel, carry):
         c = lo + c_rel
-        slot = jax.lax.rem(c_rel, 2)
-        nxt = jax.lax.rem(c_rel + 1, 2)
+        slot = jax.lax.rem(c_rel, slots)
 
-        @pl.when(c + 1 < hi)
+        @pl.when(c + slots - 1 < hi)
         def _():
-            start_chunk(nxt, c + 1)
+            nxt = jax.lax.rem(c_rel + slots - 1, slots)
+            start_chunk(nxt, c + slots - 1)
 
         for d in in_dmas(slot, c):
             d.wait()
 
         # wait for the previous write from this staging slot (if any)
-        @pl.when(c_rel >= 2)
+        @pl.when(c_rel >= slots)
         def _():
-            out_dma(slot, c - 2).wait()
+            out_dma(slot, c - slots).wait()
 
         if sub:
             blo = i * block_nodes
@@ -2145,13 +2151,10 @@ def _fused_gate_gather_kernel(
     jax.lax.fori_loop(0, hi - lo, body, 0)
 
     # drain outstanding e_new writes
-    @pl.when(hi - lo >= 1)
-    def _():
-        out_dma(jax.lax.rem(hi - lo - 1, 2), hi - 1).wait()
-
-    @pl.when(hi - lo >= 2)
-    def _():
-        out_dma(jax.lax.rem(hi - lo - 2, 2), hi - 2).wait()
+    for k in range(1, slots + 1):
+        @pl.when(hi - lo >= k)
+        def _(k=k):
+            out_dma(jax.lax.rem(hi - lo - k, slots), hi - k).wait()
 
 
 def fused_gate_sigma_gather_pallas(
@@ -2207,12 +2210,17 @@ def fused_gate_sigma_gather_pallas(
     cfirst = jnp.min(jnp.where(real_ch, ids_ch, PAD_SEGMENT),
                      axis=1).astype(jnp.int32)
     clast = jnp.max(jnp.where(real_ch, ids_ch, -1), axis=1).astype(jnp.int32)
-    sub = 256 if (bn > 256 and os.environ.get("GNNOME_SUBTILE", "1") == "1") \
-        else 0
+    # GNNOME_SUBTILE: "0" off, "1" the 256-row default, else a window size
+    sub_env = os.environ.get("GNNOME_SUBTILE", "1")
+    sub = {"0": 0, "1": 256}.get(sub_env, None)
+    sub = int(sub_env) if sub is None else sub
+    if not (bn > max(sub, 128)):
+        sub = 0
+    slots = int(os.environ.get("GNNOME_EPILOG_SLOTS", "2"))
 
     kernel = functools.partial(
         _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
-        wr=value_plan.wr, group=value_plan.group, sub=sub,
+        wr=value_plan.wr, group=value_plan.group, sub=sub, slots=slots,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -2231,16 +2239,16 @@ def fused_gate_sigma_gather_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # e_new stays in HBM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ch, d), gate_raw_sorted.dtype),
-            pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
-            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.VMEM((2, ch, d), e_in_sorted.dtype),
-            pltpu.VMEM((2, SUBCHUNKS // value_plan.group, 2,
+            pltpu.VMEM((slots, ch, d), gate_raw_sorted.dtype),
+            pltpu.VMEM((slots, ch, d), e_in_sorted.dtype),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((slots, ch, d), e_in_sorted.dtype),
+            pltpu.VMEM((slots, SUBCHUNKS // value_plan.group, 2,
                         value_plan.wr, d), values_table.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, SUBCHUNKS // value_plan.group, 2)),
+            pltpu.SemaphoreType.DMA((slots, 4)),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots, SUBCHUNKS // value_plan.group, 2)),
         ],
     )
     sums, e_new = pl.pallas_call(
