@@ -645,9 +645,17 @@ def _rev_unsorted_bwd(num_segments, backend, res, g):
     d = gate_pre.shape[-1]
     pallas = backend in ("pallas", "pallas_interpret") or (
         backend is None and default_backend() == "pallas")
-    if pallas and _fusion_level() >= 3 and d % 128 == 0 \
-            and csr_src.key_plan is not None and csr_src.key_plan.ok \
-            and by_dst.key_plan is not None and by_dst.key_plan.ok:
+    # VMEM guard: rev_bwd_pallas clamps its slot count to >= 2, so on
+    # wide-band graphs 2x its per-slot window footprint (cotangent windows
+    # are 2D wide) can exceed the ~5 MB budget even where the level-2 XLA
+    # composition compiled fine — fall back rather than fail in Mosaic.
+    fits = (
+        csr_src.key_plan is not None and csr_src.key_plan.ok
+        and by_dst.key_plan is not None and by_dst.key_plan.ok
+        and 2 * (2 * (2 * csr_src.key_plan.wr + by_dst.key_plan.wr) * d * 2)
+        <= 5_500_000
+    )
+    if pallas and _fusion_level() >= 3 and d % 128 == 0 and fits:
         # fused backward: both gathers (cotangent on near-sorted src ids,
         # value regather on sorted dst ids) + the σ′ chain in ONE pass —
         # the [E, 2D]/[E, D] gathered tables never exist in HBM

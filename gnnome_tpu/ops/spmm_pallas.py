@@ -65,6 +65,14 @@ def _pick_block_nodes(num_segments: int, prefer: int) -> int:
     return BLOCK_NODES
 
 
+def _env_sub(name: str, default: int) -> int:
+    """Subtile-window height knob: f32 VMEM stores need sublane (8-row)
+    alignment, so round any hand-set value down to a multiple of 8
+    (0 disables the subtile path)."""
+    sub = int(os.environ.get(name, str(default)))
+    return max(sub - sub % 8, 0)
+
+
 
 
 def _acc_matmul(acc, onehot_bf16, tile):
@@ -267,7 +275,7 @@ def _segment_sum_sub_kernel(
 def _segsum_variant(num_segments: int):
     """(sub, slots, split, prefer_bn) from env — the measured default is
     set after the round-3 kernel sweep (PERFORMANCE.md)."""
-    sub = int(os.environ.get("GNNOME_SEGSUM_SUB", "192"))
+    sub = _env_sub("GNNOME_SEGSUM_SUB", 192)
     slots = int(os.environ.get("GNNOME_SEGSUM_SLOTS", "4"))
     split = os.environ.get("GNNOME_SEGSUM_SPLIT", "0") == "1"
     if sub:
@@ -1697,7 +1705,7 @@ def fused_sigma_unsorted_pallas(
     chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
     ids_2d = src_ids.reshape(e_pad // LANE, LANE)
     vids_2d = dst_ids.reshape(e_pad // LANE, LANE)
-    sub = int(os.environ.get("GNNOME_SIGMA_SUB", "256"))
+    sub = _env_sub("GNNOME_SIGMA_SUB", 256)
     if sub >= bn:
         sub = 0
 
@@ -2212,11 +2220,10 @@ def fused_gate_sigma_gather_pallas(
     clast = jnp.max(jnp.where(real_ch, ids_ch, -1), axis=1).astype(jnp.int32)
     # GNNOME_SUBTILE: "0" off, "1" the 256-row default, else a window size
     sub_env = os.environ.get("GNNOME_SUBTILE", "1")
-    sub = {"0": 0, "1": 256}.get(sub_env, None)
-    sub = int(sub_env) if sub is None else sub
+    sub = 256 if sub_env == "1" else _env_sub("GNNOME_SUBTILE", 256)
     if not (bn > max(sub, 128)):
         sub = 0
-    slots = int(os.environ.get("GNNOME_EPILOG_SLOTS", "2"))
+    slots = max(int(os.environ.get("GNNOME_EPILOG_SLOTS", "2")), 2)
 
     kernel = functools.partial(
         _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
