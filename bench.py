@@ -29,9 +29,14 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_bench_graph(n_nodes: int, n_edges: int, seed: int = 0):
+def build_bench_graph(n_nodes: int, n_edges: int, seed: int = 0,
+                      frac_long: float = 0.0):
     """Synthetic graph with assembly-like structure: long 2-strand chains
-    with overlap branches (chr19 simulated graphs have mean degree ~2-6)."""
+    with overlap branches (chr19 simulated graphs have mean degree ~2-6).
+
+    ``frac_long`` rewires that fraction of the branch edges to uniform-
+    random destinations — the cross-locus edges repeat families induce —
+    so partition cuts are non-degenerate (used by the multichip dryrun)."""
     from gnnome_tpu.core.graph import build_graph
 
     rng = np.random.default_rng(seed)
@@ -46,6 +51,9 @@ def build_bench_graph(n_nodes: int, n_edges: int, seed: int = 0):
         s = rng.integers(0, n_nodes, extra)
         offs = rng.integers(2, 12, extra)
         d = np.minimum(s + 2 * offs, n_nodes - 1)
+        n_long = int(extra * frac_long)
+        if n_long:
+            d[:n_long] = rng.integers(0, n_nodes, n_long)
         src.append(s)
         dst.append(d)
     src = np.concatenate(src).astype(np.int32)

@@ -3,46 +3,54 @@
 This is the distributed execution path the reference entirely lacks
 (single device only, ``hyperparameters.py:25``; SURVEY.md §2c).
 
-Owner-computes design with **halo (boundary-only) exchange** (v3):
+Owner-computes design with **halo (boundary-only) exchange** (v4):
 
   * **nodes** are block-sharded over the ``graph`` mesh axis; every dense
     projection (the six per-layer matmuls, ``layers/gated_gcn_full.py:107-113``)
     runs on its local node block (MXU, no comm). Node numbering is the
     pair-aligned BFS locality order (``parallel/partition.py``), so
     contiguous blocks are good partitions with a small edge cut;
-  * **edges live in two shardings**: the *fwd* sharding assigns each edge
-    to the owner of its ``dst`` (edges arrive dst-sorted — contiguous
-    slices of the canonical order), the *bwd* sharding to the owner of its
-    ``src``. Each aggregation is then a fully *local* sorted segment-sum
-    into the device's own node block — the Pallas kernel runs unchanged
-    per shard, and no cross-device scatter/reduce of node tensors exists;
+  * **each edge lives on exactly one device** — the owner of its ``dst``
+    (edges arrive dst-sorted: contiguous slices of the canonical order).
+    There is ONE edge state and ONE per-edge gate, shared by both
+    aggregation directions — the fwd/bwd gate tensors are algebraically
+    identical in the reference's live path
+    (``layers/gated_gcn_full.py:120-143``), a fact the single-chip layer
+    already exploits (``models/gated_gcn.py``). v3 of this module carried
+    a second, src-owned copy of every edge with its own gate and state;
+    that doubled the per-edge compute, the remat carry (~2 GB at 1M
+    edges), and the batch footprint, for a quantity that is one tensor;
+  * the **forward aggregation** (into ``dst``) is a fully local sorted
+    segment-sum into the device's own node block. The **reverse
+    aggregation** (into ``src``, the ``dgl.reverse`` direction) keys each
+    edge by its ``ref`` index into the combined [N_local + P·H] table
+    (own block ‖ per-peer halo slots): local src rows accumulate
+    directly, remote src rows accumulate into their peer's halo slot,
+    and one ``all_to_all`` returns the halo *partial sums* to their
+    owners, which add them in via a sorted segment-sum over the
+    host-built send CSR — the exact transpose of the halo gather, riding
+    the same boundary sets R[p→q];
   * **per-layer communication is proportional to the edge cut, not N**:
-    the fwd sharding needs remote rows only for boundary *source* nodes of
-    its edges (its keyed dst endpoints are local by construction), the bwd
-    sharding only for boundary *destination* nodes. ``prepare_batch``
-    precomputes, per ordered device pair (p→q), the exact boundary row set
-    R[p→q]; each layer gathers those rows into a per-peer send buffer,
-    exchanges them with one ``all_to_all`` per direction, and edge gathers
-    index a combined [N_local + P·H] (own block ‖ received halo) table.
-    H is the max |R[p→q]| (padded), so per-device per-layer traffic is
-    2 · P·H · 2D · bytes — for assembly graphs the cut (and hence P·H) is
-    orders of magnitude below N (see ``halo_comm_bytes``);
+    one halo gather of [b1h ‖ a2h] boundary src rows out, one halo
+    reduce of [Σσ·a3h ‖ Σσ] partial sums back. ``prepare_batch``
+    precomputes, per ordered device pair (p→q), the exact boundary row
+    set R[p→q]; H is the max |R[p→q]| (padded), so per-device per-layer
+    traffic is 2 · P·H · 2D rows (see ``halo_comm_bytes``);
   * every gather is scatter-free in autodiff: send-buffer gathers and
     per-edge gathers go through ``gather_by_endpoint`` with host-built
     CSRs, so their VJPs are sorted segment-sums (the Pallas kernel), never
-    XLA scatter-adds; the ``all_to_all`` transposes to itself. The code
-    orders each layer so the halo exchange is issued before the remaining
-    local matmuls (B2/A3/B3, gate locals) — no data dependence, letting
-    XLA's latency-hiding scheduler overlap the collective with local MXU
-    work;
-  * the per-edge gate is computed (redundantly) in both shardings —
-    duplicated elementwise FLOPs in exchange for zero edge-state
-    communication;
-  * edge-BatchNorm statistics are computed once over the fwd sharding
-    (each real edge exactly once, psum over ``graph``) and applied to both
-    shardings, so numerics match single-device execution exactly;
+    XLA scatter-adds; the ``all_to_all`` transposes to itself; the halo
+    reduce's VJP is the halo gather. The code orders each layer so the
+    halo exchange is issued before the remaining local matmuls (B2/A3,
+    gate locals) — no data dependence, letting XLA's latency-hiding
+    scheduler overlap the collective with local MXU work;
+  * edge-BatchNorm statistics are computed over the single edge set
+    (each real edge exactly once, psum over ``graph``), so numerics match
+    single-device execution exactly;
   * **graphs** shard over the ``data`` axis (one graph per replica group);
-    loss means and gradients reduce over both axes.
+    loss means and gradients reduce over both axes. At P=1 the halo is
+    empty and the layer degenerates to exactly the single-chip kernel
+    sequence.
 
 Numerical equality with single-device execution is asserted in
 tests/test_sharded.py; cut-proportional comm is asserted in
@@ -82,14 +90,17 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EdgeShard:
-    """One direction's edge sharding. Leading dims: [B, P, ...].
+    """The (dst-owned, dst-sorted) edge sharding. Leading dims: [B, P, ...].
 
-    ``ref`` indexes each edge's *non-keyed* endpoint (src for the fwd
-    sharding, dst for bwd) into the combined [N_local + P·H] table of
-    (own node block ‖ per-peer halo rows); ``send_idx`` lists the local
-    rows each peer needs (layout: peer-major, [P·H]). The ``ref_*`` /
-    ``send_*`` arrays are the host-built CSRs making both gathers'
-    VJPs sorted segment-sums instead of XLA scatters.
+    ``ref`` indexes each edge's src endpoint into the combined
+    [N_local + P·H] table of (own node block ‖ per-peer halo rows);
+    ``send_idx`` lists the local rows each peer needs (layout:
+    peer-major, [P·H]). The ``ref_*`` / ``send_*`` arrays are the
+    host-built CSRs serving double duty: they make the halo/edge
+    gathers' VJPs sorted segment-sums instead of XLA scatters, and the
+    ``ref`` CSR is ALSO the forward layout of the reverse aggregation
+    (σ·a3h partial sums into the combined table) while the send CSR adds
+    returned halo partials into their owner rows.
     """
 
     mask: jax.Array  # bool [B, P, E_b]
@@ -133,8 +144,7 @@ class EdgeShard:
 class ShardedBatch:
     node_mask: jax.Array  # bool [B, N_pad]
     pe: jax.Array  # f32 [B, N_pad, pe+2]
-    fwd: EdgeShard  # edges owned by dst block, dst-sorted
-    bwd: EdgeShard  # edges owned by src block, src-sorted
+    fwd: EdgeShard  # THE edge sharding: owned by dst block, dst-sorted
 
     @property
     def n_nodes_padded(self) -> int:
@@ -321,7 +331,11 @@ def prepare_batch(
     n_pad = _round_up(max(s.graph.n_nodes_padded for s in samples), 512 * n_graph)
     n_local = n_pad // n_graph
 
-    # pass 1: shard bounds (edge buckets) + halo sets (halo bucket)
+    # pass 1: shard bounds (edge buckets) + halo sets (halo bucket).
+    # One sharding only: edges are owned by their dst's block (canonical
+    # order is already dst-sorted); the halo sets are the boundary SRC
+    # rows, which serve both the forward gather and the reverse
+    # partial-sum return (same R[p→q] in both roles).
     per_graph = []
     max_bucket = 0
     max_halo = 0
@@ -331,31 +345,18 @@ def prepare_batch(
         src_c = np.asarray(g.src)
         dst_c = np.asarray(g.dst)
 
-        # fwd: canonical order is already dst-sorted
         dst_key = np.where(np.arange(e_pad) < g.n_edges, dst_c, PAD_SEGMENT)
         fwd_order = np.arange(e_pad)
-        # bwd: src-sorted via the by_src permutation
-        bwd_order = np.asarray(g.by_src.order)
-        src_key = np.asarray(g.by_src.segment_ids)
-
-        dirs = []
-        for key_sorted, order, other in (
-            (dst_key, fwd_order, src_c),
-            (src_key, bwd_order, dst_c),
-        ):
-            b = np.searchsorted(key_sorted[: g.n_edges],
-                                np.arange(n_graph + 1) * n_local)
-            max_bucket = max(max_bucket, int(np.diff(b).max()) if n_graph else 0)
-            other_by_shard = [
-                other[order[int(b[p]) : int(b[p + 1])]] for p in range(n_graph)
-            ]
-            R = _halo_sets(other_by_shard, n_local, n_graph)
-            if R:
-                max_halo = max(
-                    max_halo, max((len(v) for v in R.values()), default=0)
-                )
-            dirs.append((key_sorted, order, other, R))
-        per_graph.append((s, dirs))
+        b = np.searchsorted(dst_key[: g.n_edges],
+                            np.arange(n_graph + 1) * n_local)
+        max_bucket = max(max_bucket, int(np.diff(b).max()) if n_graph else 0)
+        other_by_shard = [
+            src_c[fwd_order[int(b[p]) : int(b[p + 1])]] for p in range(n_graph)
+        ]
+        R = _halo_sets(other_by_shard, n_local, n_graph)
+        if R:
+            max_halo = max(max_halo, max((len(v) for v in R.values()), default=0))
+        per_graph.append((s, (dst_key, fwd_order, src_c, R)))
 
     e_bucket = _round_up(max(max_bucket, 1), edge_bucket_multiple)
     # Pallas segment-sum constraints on the halo tensors: the send list
@@ -364,19 +365,15 @@ def prepare_batch(
     # multiple of 1024 (n_local is already a multiple of 128).
     h_halo = _round_up(max(max_halo, 1), max(1024 // n_graph, 1)) if n_graph > 1 else 0
 
-    fwd_stack, bwd_stack, node_masks, pes = [], [], [], []
-    for s, dirs in per_graph:
+    fwd_stack, node_masks, pes = [], [], []
+    for s, (key_sorted, order, other, R) in per_graph:
         g = s.graph
         e_feat_c = np.asarray(s.e_feat)
         y_c = np.asarray(s.y)
-        shards = []
-        for key_sorted, order, other, R in dirs:
-            shards.append(_build_edge_shard(
-                order, key_sorted, other, e_feat_c, y_c,
-                g.n_edges, n_pad, n_graph, e_bucket, h_halo, R,
-            ))
-        fwd_stack.append(shards[0])
-        bwd_stack.append(shards[1])
+        fwd_stack.append(_build_edge_shard(
+            order, key_sorted, other, e_feat_c, y_c,
+            g.n_edges, n_pad, n_graph, e_bucket, h_halo, R,
+        ))
         nm = np.zeros(n_pad, bool)
         nm[: g.n_nodes] = True
         node_masks.append(nm)
@@ -419,7 +416,6 @@ def prepare_batch(
         node_mask=np.stack(node_masks),
         pe=np.stack(pes),
         fwd=stack_shard(fwd_stack),
-        bwd=stack_shard(bwd_stack),
     )
 
     # device placement: [B, ...node dims...] over data; [B, P, ...] over
@@ -440,7 +436,6 @@ def prepare_batch(
         node_mask=put(batch.node_mask, node_spec),
         pe=put(batch.pe, pe_spec),
         fwd=put_shard(batch.fwd),
-        bwd=put_shard(batch.bwd),
     )
 
 
@@ -458,15 +453,17 @@ def halo_comm_bytes(batch: ShardedBatch, hidden: int = 256,
     """Analytic per-device per-layer ICI traffic of the halo design vs the
     all-gather design it replaced (PERFORMANCE.md scaling model).
 
-    Halo: each direction all_to_alls P·H rows of width 2·hidden.
-    All-gather: each direction gathered a full [N_pad, 2·hidden] table.
+    Halo: one gather all_to_all of P·H [b1h ‖ a2h] rows (compute dtype)
+    out, one reduce all_to_all of P·H [Σσ·a3h ‖ Σσ] partial-sum rows
+    (f32) back. All-gather: each direction gathered a full
+    [N_pad, 2·hidden] table.
     """
     n_shards = batch.fwd.send_idx.shape[1]
     send_slots = int(batch.fwd.send_idx.shape[-1])  # P·H
     n_pad = batch.n_nodes_padded
     row = 2 * hidden * dtype_bytes
     return {
-        "halo_bytes_per_layer": 2 * send_slots * row,
+        "halo_bytes_per_layer": send_slots * (row + 2 * hidden * 4),
         "all_gather_bytes_per_layer": 2 * (n_pad - n_pad // n_shards) * row,
         "halo_rows": send_slots,
         "n_pad": n_pad,
@@ -494,12 +491,8 @@ def _halo_exchange(
     if send_slots == 0:
         return x_loc
     n_local = x_loc.shape[0]
-    send_csr = CSR(
-        identity=False,
-        order=shard["send_order"], inv_order=shard["send_inv_order"],
-        offsets=shard["send_offsets"], segment_ids=shard["send_segment_ids"],
-    )
-    sent = gather_by_endpoint(x_loc, shard["send_idx"], send_csr, n_local, backend)
+    sent = gather_by_endpoint(x_loc, shard["send_idx"], _send_csr(shard),
+                              n_local, backend)
     h = send_slots // n_shards
     recv = jax.lax.all_to_all(
         sent.reshape(n_shards, h, x_loc.shape[-1]),
@@ -507,6 +500,49 @@ def _halo_exchange(
     )
     return jnp.concatenate([x_loc, recv.reshape(send_slots, x_loc.shape[-1])],
                            axis=0)
+
+
+def _send_csr(shard: Dict[str, jax.Array]) -> CSR:
+    return CSR(
+        identity=False,
+        order=shard["send_order"], inv_order=shard["send_inv_order"],
+        offsets=shard["send_offsets"], segment_ids=shard["send_segment_ids"],
+    )
+
+
+def _halo_reduce(
+    comb: jax.Array,  # [N_local + P·H, W] partial sums (combined layout)
+    shard: Dict[str, jax.Array],
+    n_shards: int,
+    backend: Optional[str],
+) -> jax.Array:
+    """[N_local + P·H, W] partial sums → [N_local, W] complete sums: the
+    transpose of ``_halo_exchange``.
+
+    Halo slot (r, pos) on this device holds its partial contribution to
+    global row R[(r, self)][pos], owned by peer r; one ``all_to_all``
+    routes every slot to its owner, where the rows land in exactly the
+    send-CSR's peer-major layout — so adding them into the local block is
+    a sorted segment-sum over the host-built send CSR (scatter-free; its
+    VJP is the send-buffer gather of ``_halo_exchange``).
+    """
+    from gnnome_tpu.ops.segment import segment_sum_csr
+
+    send_slots = shard["send_idx"].shape[0]
+    if send_slots == 0:
+        return comb
+    n_local = comb.shape[0] - send_slots
+    local, halo = comb[:n_local], comb[n_local:]
+    w = comb.shape[-1]
+    h = send_slots // n_shards
+    recv = jax.lax.all_to_all(
+        halo.reshape(n_shards, h, w), AXIS_GRAPH, split_axis=0, concat_axis=0,
+    )
+    remote = segment_sum_csr(
+        recv.reshape(send_slots, w), _send_csr(shard), n_local,
+        backend=backend,
+    )
+    return local + remote.astype(local.dtype)
 
 
 def _ref_csr(shard: Dict[str, jax.Array]) -> CSR:
@@ -602,144 +638,114 @@ def _shard_fused_supported(shard: Dict[str, jax.Array], d: int, itemsize: int,
 def _sharded_gated_gcn_layer(
     lp: Dict,
     h_loc: jax.Array,  # [N/P, D]
-    e_f: jax.Array,  # [E_b, D] fwd-shard edge state
-    e_b: jax.Array,  # [E_b, D] bwd-shard edge state
+    e: jax.Array,  # [E_b, D] edge state (ONE per edge)
     fwd: Dict[str, jax.Array],
-    bwd: Dict[str, jax.Array],
     node_mask_loc: jax.Array,
     n_shards: int,
     batch_norm: bool,
     backend: Optional[str],
     eps: float = 1e-6,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array]:
+    """One gate, one edge state: the fwd/bwd gate tensors are the same
+    expression in the reference's live path
+    (``layers/gated_gcn_full.py:120-143``), so each edge computes its gate
+    once on its dst-owner shard. The forward aggregation is a local sorted
+    segment-sum; the reverse aggregation partial-sums σ·a3h[dst] into the
+    combined [N_local + P·H] table keyed by ``ref`` and returns the halo
+    partials to their owners (``_halo_reduce``)."""
     h_in = h_loc
     d = h_loc.shape[-1]
     n_local = h_loc.shape[0]
     itemsize = h_loc.dtype.itemsize
-    fused = (
-        batch_norm
-        and _shard_fused_supported(fwd, d, itemsize, backend)
-        and _shard_fused_supported(bwd, d, itemsize, backend)
-    )
-    # issue the halo exchanges first: they depend only on B1/A2 (fwd halo)
-    # and B2/A3 (bwd halo), so XLA's latency-hiding scheduler can overlap
-    # the all_to_alls with the remaining local projections and gate math
+    fused = batch_norm and _shard_fused_supported(fwd, d, itemsize, backend)
+    # issue the halo exchange first: it depends only on B1/A2, so XLA's
+    # latency-hiding scheduler can overlap the all_to_all with the
+    # remaining local projections and gate math
     b1h = linear(lp["B1"], h_loc)
     a2h = linear(lp["A2"], h_loc)
     b1a2 = jnp.concatenate([b1h, a2h], axis=-1)
-    src_tab = _halo_exchange(b1a2, fwd, n_shards, backend)  # fwd needs remote src
+    src_tab = _halo_exchange(b1a2, fwd, n_shards, backend)  # [n_comb, 2D]
     b2h = linear(lp["B2"], h_loc)
     a3h = linear(lp["A3"], h_loc)
-    b2a3 = jnp.concatenate([b2h, a3h], axis=-1)
-    dst_tab = _halo_exchange(b2a3, bwd, n_shards, backend)  # bwd needs remote dst
     a1 = linear(lp["A1"], h_loc)
 
     csr_f = _local_csr(fwd["key_local"], fwd["offsets"], fwd.get("_key_plan"))
-    csr_b = _local_csr(bwd["key_local"], bwd["offsets"], bwd.get("_key_plan"))
+    rcsr = _ref_csr(fwd)
+    n_comb = src_tab.shape[0]
+    key_pad = fwd["key_local"]  # PAD_SEGMENT on padded edges
+    ref_key = jnp.where(fwd["mask"], fwd["ref"], PAD_SEGMENT)
 
     if fused:
-        # Round-2 fused suite over the sharded layout (the single-chip
-        # dispatch of models/gated_gcn.py brought to shard_map): per edge
-        # shard, gate-front fuses BOTH endpoint gathers (combined-table ref
-        # side banded + local key side banded) with the in-kernel B3
-        # projection; the gather-fused epilog then selects the value rows
-        # (a2h[src] / a3h[dst]) from banded VMEM windows of the SAME
-        # tables — no pregathered [E, D] endpoint tables, b3e, or XLA add
-        # chains exist in HBM. Both shards are locally SORTED (dual
-        # sharding), so no opposite/reverse-unsorted machinery is needed.
-        # BN moments stay outside the kernel: per-shard real-edge counts
-        # differ across ranks, so the kernel's static-count moment mask
-        # cannot apply; masked_moments reads the gate once and psums.
+        # Single-chip fused kernel suite under shard_map: gate-front fuses
+        # BOTH endpoint gathers (combined-table ref side banded + local key
+        # side banded) with the in-kernel B3 projection; the gather-fused
+        # epilog selects the a2h[src] value rows from banded VMEM windows
+        # of src_tab — no pregathered [E, D] endpoint tables, b3e, or XLA
+        # add chains exist in HBM. BN moments stay outside the kernel:
+        # per-shard real-edge counts differ across ranks, so the kernel's
+        # static-count moment mask cannot apply; masked_moments reads the
+        # gate once and psums.
         from gnnome_tpu.ops.segment import (
             fused_gate_front,
             fused_gate_sigma_gather,
         )
 
-        rcsr_f, rcsr_b = _ref_csr(fwd), _ref_csr(bwd)
-        n_comb = src_tab.shape[0]
-        safe_f = jnp.where(fwd["key_local"] < n_local, fwd["key_local"], 0)
-        safe_b = jnp.where(bwd["key_local"] < n_local, bwd["key_local"], 0)
-
-        gate_f, _ = fused_gate_front(
-            src_tab[:, :d], b2h, e_f, lp["B3"]["w"], lp["B3"]["b"],
-            fwd["ref"], safe_f, (rcsr_f, csr_f), (n_comb, n_local), 0,
+        safe_key = jnp.where(key_pad < n_local, key_pad, 0)
+        gate, _ = fused_gate_front(
+            src_tab[:, :d], b2h, e, lp["B3"]["w"], lp["B3"]["b"],
+            fwd["ref"], safe_key, (rcsr, csr_f), (n_comb, n_local), 0,
             backend,
         )
-        gate_b, _ = fused_gate_front(
-            dst_tab[:, :d], b1h, e_b, lp["B3"]["w"], lp["B3"]["b"],
-            bwd["ref"], safe_b, (rcsr_b, csr_b), (n_comb, n_local), 0,
-            backend,
-        )
-        mean, var = masked_moments(gate_f, fwd["mask"], axis_name=AXIS_GRAPH)
-        inv = jax.lax.rsqrt(var + 1e-5)
-        scale2 = inv * lp["norm_e"]["scale"].astype(jnp.float32)
-        bias2 = lp["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
-        affine = jnp.stack([scale2, bias2])
+        a2_src = None
+    else:
+        sg = _ref_gather(src_tab, fwd, backend)  # [E_b, 2D] = [b1_src ‖ a2_src]
+        b2_dst = _key_gather(b2h, fwd, backend)
+        gate = sg[:, :d] + b2_dst + linear(lp["B3"], e)
+        a2_src = sg[:, d:]
 
-        agg_f, e_f_new = fused_gate_sigma_gather(
-            gate_f, e_f, src_tab[:, d:], affine,
-            (fwd["key_local"], fwd["ref"]), csr_f, rcsr_f, n_local, backend,
-        )
-        agg_b, e_b_new = fused_gate_sigma_gather(
-            gate_b, e_b, dst_tab[:, d:], affine,
-            (bwd["key_local"], bwd["ref"]), csr_b, rcsr_b, n_local, backend,
-        )
-    elif batch_norm:
+    if batch_norm:
         from gnnome_tpu.ops.segment import fused_gate_sigma_aggregate
 
-        # composed fallback (CPU xla backend / no covering plans)
-        sg = _ref_gather(src_tab, fwd, backend)  # [E_b, 2D] = [b1_src ‖ a2_src]
-        dgl_ = _key_gather(b2a3, fwd, backend)  # [E_b, 2D] = [b2_dst ‖ a3_dst]
-        gate_f = sg[:, :d] + dgl_[:, :d] + linear(lp["B3"], e_f)
-        a2_src_f = sg[:, d:]
-        dg = _ref_gather(dst_tab, bwd, backend)
-        sgl = _key_gather(b1a2, bwd, backend)
-        gate_b = sgl[:, :d] + dg[:, :d] + linear(lp["B3"], e_b)
-        a3_dst_b = dg[:, d:]
-
-        # stats over the fwd sharding only (each real edge exactly once,
-        # psum over the mesh); the folded affine + relu + residual + σ +
-        # both segment-sums run in the gate-epilog fused kernel per
-        # sharding — one pass over each edge set.
-        mean, var = masked_moments(gate_f, fwd["mask"], axis_name=AXIS_GRAPH)
+        # edge-BN statistics: each real edge exactly once, psum over the
+        # mesh; the folded affine + relu + residual + σ + both forward
+        # segment-sums run in the gate-epilog fused kernel — one pass.
+        mean, var = masked_moments(gate, fwd["mask"], axis_name=AXIS_GRAPH)
         inv = jax.lax.rsqrt(var + 1e-5)
         scale2 = inv * lp["norm_e"]["scale"].astype(jnp.float32)
         bias2 = lp["norm_e"]["bias"].astype(jnp.float32) - mean * scale2
         affine = jnp.stack([scale2, bias2])
 
-        agg_f, e_f_new = fused_gate_sigma_aggregate(
-            gate_f, e_f, a2_src_f, affine, fwd["key_local"], csr_f,
-            n_local, backend,
-        )
-        agg_b, e_b_new = fused_gate_sigma_aggregate(
-            gate_b, e_b, a3_dst_b, affine, bwd["key_local"], csr_b,
-            n_local, backend,
-        )
+        if fused:
+            agg_f, e_new = fused_gate_sigma_gather(
+                gate, e, src_tab[:, d:], affine, (key_pad, fwd["ref"]),
+                csr_f, rcsr, n_local, backend,
+            )
+        else:
+            agg_f, e_new = fused_gate_sigma_aggregate(
+                gate, e, a2_src, affine, key_pad, csr_f, n_local, backend,
+            )
     else:
         from gnnome_tpu.ops.norm import masked_layer_norm
         from gnnome_tpu.ops.segment import _fused_sigma_aggregate
 
-        sg = _ref_gather(src_tab, fwd, backend)
-        dgl_ = _key_gather(b2a3, fwd, backend)
-        gate_f = sg[:, :d] + dgl_[:, :d] + linear(lp["B3"], e_f)
-        a2_src_f = sg[:, d:]
-        dg = _ref_gather(dst_tab, bwd, backend)
-        sgl = _key_gather(b1a2, bwd, backend)
-        gate_b = sgl[:, :d] + dg[:, :d] + linear(lp["B3"], e_b)
-        a3_dst_b = dg[:, d:]
-
-        gate_f = masked_layer_norm(gate_f, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
-        gate_b = masked_layer_norm(gate_b, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
-        e_f_new = (jax.nn.relu(gate_f) + e_f).astype(e_f.dtype)
-        e_b_new = (jax.nn.relu(gate_b) + e_b).astype(e_b.dtype)
+        gate = masked_layer_norm(gate, lp["norm_e"]["scale"], lp["norm_e"]["bias"])
+        e_new = (jax.nn.relu(gate) + e).astype(e.dtype)
         agg_f = _fused_sigma_aggregate(
-            e_f_new, a2_src_f, fwd["key_local"], csr_f, n_local, backend
-        )
-        agg_b = _fused_sigma_aggregate(
-            e_b_new, a3_dst_b, bwd["key_local"], csr_b, n_local, backend
+            e_new, a2_src, key_pad, csr_f, n_local, backend
         )
 
     h_fwd = agg_f[:, :d] / (agg_f[:, d:] + eps)
+
+    # reverse aggregation (the ``dgl.reverse`` direction,
+    # ``layers/gated_gcn_full.py:133-143``): node j sums σ(e_new)·a3h[i]
+    # over its out-edges j→i. a3h[i] is local (i = dst = keyed endpoint);
+    # the key j may be remote — partial-sum into the combined table and
+    # return halo partials to their owners.
+    from gnnome_tpu.ops.segment import _fused_sigma_aggregate as _fsa
+
+    a3_dst = _key_gather(a3h, fwd, backend)
+    comb = _fsa(e_new, a3_dst, ref_key, rcsr, n_comb, backend)
+    agg_b = _halo_reduce(comb, fwd, n_shards, backend)
     h_bwd = agg_b[:, :d] / (agg_b[:, d:] + eps)
 
     # aggregations accumulate f32; return to the compute dtype
@@ -752,7 +758,7 @@ def _sharded_gated_gcn_layer(
 
         h = masked_layer_norm(h, lp["norm_h"]["scale"], lp["norm_h"]["bias"])
     h = (jax.nn.relu(h) + h_in).astype(h_in.dtype)
-    return h, e_f_new, e_b_new
+    return h, e_new
 
 
 def sharded_forward(
@@ -760,7 +766,6 @@ def sharded_forward(
     pe_loc: jax.Array,
     node_mask_loc: jax.Array,
     fwd: Dict[str, jax.Array],
-    bwd: Dict[str, jax.Array],
     n_shards: int,
     batch_norm: bool = True,
     backend: Optional[str] = None,
@@ -785,35 +790,29 @@ def sharded_forward(
         )
         pe_loc = pe_loc.astype(cdt)
         fwd = dict(fwd, e_feat=fwd["e_feat"].astype(cdt))
-        bwd = dict(bwd, e_feat=bwd["e_feat"].astype(cdt))
 
     h = linear(params["linear_pe"], pe_loc)
 
-    def encode_e(e_feat):
-        e = jax.nn.relu(linear(params["linear1_edge"], e_feat))
-        return linear(params["linear2_edge"], e)
-
-    e_f = encode_e(fwd["e_feat"])
-    e_b = encode_e(bwd["e_feat"])
+    e = jax.nn.relu(linear(params["linear1_edge"], fwd["e_feat"]))
+    e = linear(params["linear2_edge"], e)
 
     def layer_fn(lp, carry):
-        h, e_f, e_b = carry
+        h, e = carry
         return _sharded_gated_gcn_layer(
-            lp, h, e_f, e_b, fwd, bwd, node_mask_loc, n_shards, batch_norm,
-            backend,
+            lp, h, e, fwd, node_mask_loc, n_shards, batch_norm, backend,
         )
 
     n_layers = len(params["layers"])
     if remat == "unroll_group":
-        def group_fn(group_params, h, e_f, e_b):
+        def group_fn(group_params, h, e):
             for lp in group_params:
-                h, e_f, e_b = layer_fn(lp, (h, e_f, e_b))
-            return h, e_f, e_b
+                h, e = layer_fn(lp, (h, e))
+            return h, e
 
         g = remat_group if n_layers % remat_group == 0 else 1
         ckpt_group = jax.checkpoint(group_fn)
         for i in range(0, n_layers, g):
-            h, e_f, e_b = ckpt_group(params["layers"][i : i + g], h, e_f, e_b)
+            h, e = ckpt_group(params["layers"][i : i + g], h, e)
     else:
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *params["layers"]
@@ -834,11 +833,11 @@ def sharded_forward(
                 out, _ = jax.lax.scan(body, carry, glp)
                 return out, None
 
-            (h, e_f, e_b), _ = jax.lax.scan(
-                jax.checkpoint(group_body), (h, e_f, e_b), grouped
+            (h, e), _ = jax.lax.scan(
+                jax.checkpoint(group_body), (h, e), grouped
             )
         else:
-            (h, e_f, e_b), _ = jax.lax.scan(body, (h, e_f, e_b), stacked)
+            (h, e), _ = jax.lax.scan(body, (h, e), stacked)
 
     # score head, split-matmul form (models/model.py score_predictor):
     # project locally (width hidden_edge_scores « D), halo-exchange the
@@ -851,7 +850,7 @@ def sharded_forward(
     pre = (
         _ref_gather(src_proj_tab, fwd, backend)
         + _key_gather(h_dst_proj, fwd, backend)
-        + jnp.dot(e_f, w1[2 * d :], preferred_element_type=e_f.dtype)
+        + jnp.dot(e, w1[2 * d :], preferred_element_type=e.dtype)
         + bias1
     )
     hidden = jax.nn.relu(pre)
@@ -866,7 +865,7 @@ def make_sharded_loss(
     """Builds loss(params, batch, pos_weight) -> scalar, sharded over mesh."""
     n_shards = mesh.shape[AXIS_GRAPH]
 
-    def shard_fn(params, node_mask, pe, fwd_t, bwd_t, pos_weight):
+    def shard_fn(params, node_mask, pe, fwd_t, pos_weight):
         from gnnome_tpu.ops.banded import BandPlan
 
         # squeeze the per-shard leading [1(data), 1(graph)] dims and
@@ -883,10 +882,9 @@ def make_sharded_loss(
             return d
 
         fwd = shard_dict(fwd_t)
-        bwd = shard_dict(bwd_t)
 
         logits = sharded_forward(
-            params, pe, node_mask, fwd, bwd, n_shards,
+            params, pe, node_mask, fwd, n_shards,
             batch_norm=batch_norm, backend=backend, remat=remat,
             compute_dtype=compute_dtype, remat_group=remat_group,
         )
@@ -913,12 +911,11 @@ def make_sharded_loss(
                 P(AXIS_DATA, AXIS_GRAPH),  # node_mask
                 P(AXIS_DATA, AXIS_GRAPH, None),  # pe
                 _edge_specs_like(batch.fwd),
-                _edge_specs_like(batch.bwd),
                 P(),
             ),
             out_specs=P(AXIS_DATA),
             check_vma=False,
-        )(params, batch.node_mask, batch.pe, batch.fwd, batch.bwd, pos_weight)
+        )(params, batch.node_mask, batch.pe, batch.fwd, pos_weight)
         return out.mean()
 
     return loss_fn
