@@ -1496,18 +1496,20 @@ def _fused_sigma_unsorted_kernel(
     ids_hbm,  # ANY int32[E // LANE, LANE] src ids, canonical (PAD on pads)
     vids_hbm,  # ANY int32[E // LANE, LANE] clamped dst ids, canonical
     out_ref,  # VMEM [BN, 2D] block: [Σ σ·v | Σ σ]
-    e_buf,  # VMEM [2, CHUNK, D]
-    ids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
-    vids_buf,  # VMEM int32[2, SUBCHUNKS, LANE]
-    win_buf,  # VMEM [2, gpc, 2, wr, D] value-table windows
-    sems,  # DMA sems [2, 3] (e_new, ids, vids)
-    win_sems,  # DMA sems [2, gpc, 2]
+    e_buf,  # VMEM [slots, CHUNK, D]
+    ids_buf,  # VMEM int32[slots, SUBCHUNKS, LANE]
+    vids_buf,  # VMEM int32[slots, SUBCHUNKS, LANE]
+    win_buf,  # VMEM [slots, gpc, 2, wr, D] value-table windows
+    sems,  # DMA sems [slots, 3] (e_new, ids, vids)
+    win_sems,  # DMA sems [slots, gpc, 2]
     *,
     block_nodes: int,
     feat_dim: int,
     wr: int,
     group: int,
     sub: int = 0,
+    slots: int = 2,
+    split: bool = False,
 ):
     """Reverse-direction gated aggregation WITHOUT the src sort: the one-hot
     segment-sum does not require sorted keys — only the per-block chunk
@@ -1570,9 +1572,10 @@ def _fused_sigma_unsorted_kernel(
             for wi in range(2):
                 window_dma(slot, c, gr, wi).start()
 
-    @pl.when(lo < hi)
-    def _():
-        start_chunk(0, lo)
+    for k in range(slots - 1):
+        @pl.when(lo + k < hi)
+        def _(k=k):
+            start_chunk(k, lo + k)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
 
@@ -1595,15 +1598,37 @@ def _fused_sigma_unsorted_kernel(
         vdt = win_buf.dtype
         return (sig * v_rows).astype(vdt), sig.astype(vdt)
 
+    def chunk_accumulate(slot, c, row_ids, a1, a2):
+        """8 subrows of this chunk accumulated into register values a1/a2
+        (``split`` interleaves two dot chains, merged at the end)."""
+        b1 = jnp.zeros_like(a1) if split else None
+        b2 = jnp.zeros_like(a2) if split else None
+        for r in range(SUBCHUNKS):
+            # UNSORTED one-hot: src ids of this canonical subrow match
+            # whichever of this block's nodes they name (PAD never matches)
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == row_ids).astype(jnp.bfloat16)
+            sv, sb = subrow_sums(slot, c, r)
+            if split and r % 2 == 1:
+                b1 = _acc_matmul(b1, onehot, sv)
+                b2 = _acc_matmul(b2, onehot, sb)
+            else:
+                a1 = _acc_matmul(a1, onehot, sv)
+                a2 = _acc_matmul(a2, onehot, sb)
+        if split:
+            a1 = a1 + b1
+            a2 = a2 + b2
+        return a1, a2
+
     def body(c_rel, acc):
         acc1, acc2 = acc
         c = lo + c_rel
-        slot = jax.lax.rem(c_rel, 2)
-        nxt = jax.lax.rem(c_rel + 1, 2)
+        slot = jax.lax.rem(c_rel, slots)
 
-        @pl.when(c + 1 < hi)
+        @pl.when(c + slots - 1 < hi)
         def _():
-            start_chunk(nxt, c + 1)
+            nxt = jax.lax.rem(c_rel + slots - 1, slots)
+            start_chunk(nxt, c + slots - 1)
 
         for d in in_dmas(slot, c):
             d.wait()
@@ -1625,40 +1650,25 @@ def _fused_sigma_unsorted_kernel(
             @pl.when(jnp.logical_and(narrow, hi_id >= 0))
             def _():
                 sub_ids = blo + off + sub_iota
-                a1 = out_ref[pl.ds(off, sub), :feat_dim]
-                a2 = out_ref[pl.ds(off, sub), feat_dim:]
-                for r in range(SUBCHUNKS):
-                    ids_row = ids_buf[slot, r : r + 1, :]
-                    onehot = (ids_row == sub_ids).astype(jnp.bfloat16)
-                    sv, sb = subrow_sums(slot, c, r)
-                    a1 = _acc_matmul(a1, onehot, sv)
-                    a2 = _acc_matmul(a2, onehot, sb)
+                a1, a2 = chunk_accumulate(
+                    slot, c, sub_ids,
+                    out_ref[pl.ds(off, sub), :feat_dim],
+                    out_ref[pl.ds(off, sub), feat_dim:],
+                )
                 out_ref[pl.ds(off, sub), :feat_dim] = a1
                 out_ref[pl.ds(off, sub), feat_dim:] = a2
 
             @pl.when(jnp.logical_not(narrow))
             def _():
-                a1 = out_ref[:, :feat_dim]
-                a2 = out_ref[:, feat_dim:]
-                for r in range(SUBCHUNKS):
-                    ids_row = ids_buf[slot, r : r + 1, :]
-                    onehot = (ids_row == node_ids).astype(jnp.bfloat16)
-                    sv, sb = subrow_sums(slot, c, r)
-                    a1 = _acc_matmul(a1, onehot, sv)
-                    a2 = _acc_matmul(a2, onehot, sb)
+                a1, a2 = chunk_accumulate(
+                    slot, c, node_ids,
+                    out_ref[:, :feat_dim], out_ref[:, feat_dim:],
+                )
                 out_ref[:, :feat_dim] = a1
                 out_ref[:, feat_dim:] = a2
 
             return acc
-        for r in range(SUBCHUNKS):
-            # UNSORTED one-hot: src ids of this canonical subrow match
-            # whichever of this block's nodes they name (PAD never matches)
-            ids_row = ids_buf[slot, r : r + 1, :]
-            onehot = (ids_row == node_ids).astype(jnp.bfloat16)
-            sv, sb = subrow_sums(slot, c, r)
-            acc1 = _acc_matmul(acc1, onehot, sv)
-            acc2 = _acc_matmul(acc2, onehot, sb)
-        return acc1, acc2
+        return chunk_accumulate(slot, c, node_ids, acc1, acc2)
 
     if sub:
         jax.lax.fori_loop(0, hi - lo, body, (0, 0))
@@ -1708,10 +1718,21 @@ def fused_sigma_unsorted_pallas(
     sub = _env_sub("GNNOME_SIGMA_SUB", 256)
     if sub >= bn:
         sub = 0
+    slots = max(int(os.environ.get("GNNOME_SIGMA_SLOTS", "2")), 2)
+    split = os.environ.get("GNNOME_SIGMA_SPLIT", "0") == "1"
+    # per-slot scratch: value windows + the e_new chunk + two ids tiles —
+    # clamp the pipeline depth so total scratch stays within ~10 MB VMEM
+    per_slot = (
+        (SUBCHUNKS // dst_plan.group) * 2 * dst_plan.wr * d
+        * values_table.dtype.itemsize
+        + ch * d * e_new.dtype.itemsize + 2 * SUBCHUNKS * LANE * 4
+    )
+    slots = max(2, min(slots, 10_000_000 // max(per_slot, 1)))
 
     kernel = functools.partial(
         _fused_sigma_unsorted_kernel, block_nodes=bn, feat_dim=d,
-        wr=dst_plan.wr, group=dst_plan.group, sub=sub,
+        wr=dst_plan.wr, group=dst_plan.group, sub=sub, slots=slots,
+        split=split,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1726,13 +1747,13 @@ def fused_sigma_unsorted_pallas(
             (bn, 2 * d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ch, d), e_new.dtype),
-            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.VMEM((2, SUBCHUNKS, LANE), jnp.int32),
-            pltpu.VMEM((2, SUBCHUNKS // dst_plan.group, 2,
+            pltpu.VMEM((slots, ch, d), e_new.dtype),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((slots, SUBCHUNKS // dst_plan.group, 2,
                         dst_plan.wr, d), values_table.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, SUBCHUNKS // dst_plan.group, 2)),
+            pltpu.SemaphoreType.DMA((slots, 3)),
+            pltpu.SemaphoreType.DMA((slots, SUBCHUNKS // dst_plan.group, 2)),
         ],
     )
     return pl.pallas_call(
@@ -1995,6 +2016,7 @@ def _fused_gate_gather_kernel(
     group: int = 1,
     sub: int = 0,
     slots: int = 2,
+    split: bool = False,
 ):
     """``_fused_gate_kernel`` with the neighbor-value gather folded in:
     instead of streaming a pregathered [E, D] ``vals`` table, each subrow
@@ -2014,7 +2036,14 @@ def _fused_gate_gather_kernel(
 
     ``slots``: chunk-pipeline depth — input/window/e_new-staging buffers
     rotate over ``slots`` slots with up to ``slots - 1`` chunks in flight
-    (GNNOME_EPILOG_SLOTS)."""
+    (GNNOME_EPILOG_SLOTS).
+
+    The accumulate reads the out block ONCE per chunk, runs the 8 subrow
+    one-hot dots on register values, and writes back once (the previous
+    form did a VMEM read-modify-write per subrow per half — 16 serialized
+    round-trips through the same region per chunk). ``split`` breaks the
+    8-dot accumulate dependency chain into two interleaved chains
+    (GNNOME_EPILOG_SPLIT, as in ``_segment_sum_sub_kernel``)."""
     from gnnome_tpu.ops.banded import _select_matmul
 
     i = pl.program_id(0)
@@ -2094,6 +2123,49 @@ def _fused_gate_gather_kernel(
         def _():
             out_dma(slot, c - slots).wait()
 
+        def chunk_accumulate(row_ids, a1, a2):
+            """8 subrows of this chunk: window waits, banded value select,
+            gate epilog (e_new staged for write-back), σ, and the one-hot
+            accumulate into REGISTER values a1/a2 (callers read the out
+            block once and write once)."""
+            b1 = jnp.zeros_like(a1) if split else None
+            b2 = jnp.zeros_like(a2) if split else None
+            for r in range(SUBCHUNKS):
+                gr = r // group
+                if r % group == 0:
+                    for wi in range(2):
+                        window_dma(slot, c, gr, wi).wait()
+                ids_row = ids_buf[slot, r : r + 1, :]
+                sl = slice(r * LANE, (r + 1) * LANE)
+                graw = g_buf[slot, sl, :].astype(jnp.float32)
+                ein = e_buf[slot, sl, :].astype(jnp.float32)
+                vids_row = vids_buf[slot, r : r + 1, :]  # [1, LANE]
+                v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+                for wi in range(2):
+                    base = w0_ref[2 * (c * gpc + gr) + wi]
+                    sel = (row_iota + base == vids_row)  # [wr, LANE]
+                    v_rows = v_rows + _select_matmul(
+                        sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
+                enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
+                enew_buf[slot, sl, :] = enew.astype(enew_buf.dtype)
+                sig = jax.nn.sigmoid(enew)
+                # match the pregathered kernel's numerics: products in the
+                # value dtype so bf16 runs one MXU pass, f32 keeps the split
+                vdt = win_buf.dtype
+                sv = (sig * v_rows).astype(vdt)
+                sb = sig.astype(vdt)
+                oh = (ids_row == row_ids).astype(jnp.bfloat16)
+                if split and r % 2 == 1:
+                    b1 = _acc_matmul(b1, oh, sv)
+                    b2 = _acc_matmul(b2, oh, sb)
+                else:
+                    a1 = _acc_matmul(a1, oh, sv)
+                    a2 = _acc_matmul(a2, oh, sb)
+            if split:
+                a1 = a1 + b1
+                a2 = a2 + b2
+            return a1, a2
+
         if sub:
             blo = i * block_nodes
             fi = cfirst_ref[c]
@@ -2107,52 +2179,29 @@ def _fused_gate_gather_kernel(
             narrow = jnp.minimum(li, blo + block_nodes - 1) < blo + off + sub
             sub_ids = blo + off + sub_iota
 
-        for r in range(SUBCHUNKS):
-            gr = r // group
-            if r % group == 0:
-                for wi in range(2):
-                    window_dma(slot, c, gr, wi).wait()
-            ids_row = ids_buf[slot, r : r + 1, :]
-            sl = slice(r * LANE, (r + 1) * LANE)
-            graw = g_buf[slot, sl, :].astype(jnp.float32)
-            ein = e_buf[slot, sl, :].astype(jnp.float32)
-            vids_row = vids_buf[slot, r : r + 1, :]  # [1, LANE]
-            v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
-            for wi in range(2):
-                base = w0_ref[2 * (c * gpc + gr) + wi]
-                sel = (row_iota + base == vids_row)  # [wr, LANE]
-                v_rows = v_rows + _select_matmul(
-                    sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
-            enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
-            enew_buf[slot, sl, :] = enew.astype(enew_buf.dtype)
-            sig = jax.nn.sigmoid(enew)
-            # match the pregathered kernel's numerics: products in the
-            # value dtype so bf16 runs one MXU pass, f32 keeps the split
-            vdt = win_buf.dtype
-            sv = (sig * v_rows).astype(vdt)
-            sb = sig.astype(vdt)
-            if sub:
-                @pl.when(narrow)
-                def _():
-                    oh = (ids_row == sub_ids).astype(jnp.bfloat16)
-                    out_ref[pl.ds(off, sub), :feat_dim] = _acc_matmul(
-                        out_ref[pl.ds(off, sub), :feat_dim], oh, sv)
-                    out_ref[pl.ds(off, sub), feat_dim:] = _acc_matmul(
-                        out_ref[pl.ds(off, sub), feat_dim:], oh, sb)
+            @pl.when(narrow)
+            def _():
+                a1, a2 = chunk_accumulate(
+                    sub_ids,
+                    out_ref[pl.ds(off, sub), :feat_dim],
+                    out_ref[pl.ds(off, sub), feat_dim:],
+                )
+                out_ref[pl.ds(off, sub), :feat_dim] = a1
+                out_ref[pl.ds(off, sub), feat_dim:] = a2
 
-                @pl.when(jnp.logical_not(narrow))
-                def _():
-                    oh = (ids_row == node_ids).astype(jnp.bfloat16)
-                    out_ref[:, :feat_dim] = _acc_matmul(
-                        out_ref[:, :feat_dim], oh, sv)
-                    out_ref[:, feat_dim:] = _acc_matmul(
-                        out_ref[:, feat_dim:], oh, sb)
-            else:
-                oh = (ids_row == node_ids).astype(jnp.bfloat16)
-                out_ref[:, :feat_dim] = _acc_matmul(
-                    out_ref[:, :feat_dim], oh, sv)
-                out_ref[:, feat_dim:] = _acc_matmul(
-                    out_ref[:, feat_dim:], oh, sb)
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                a1, a2 = chunk_accumulate(
+                    node_ids, out_ref[:, :feat_dim], out_ref[:, feat_dim:]
+                )
+                out_ref[:, :feat_dim] = a1
+                out_ref[:, feat_dim:] = a2
+        else:
+            a1, a2 = chunk_accumulate(
+                node_ids, out_ref[:, :feat_dim], out_ref[:, feat_dim:]
+            )
+            out_ref[:, :feat_dim] = a1
+            out_ref[:, feat_dim:] = a2
         out_dma(slot, c).start()
         return carry
 
@@ -2224,10 +2273,22 @@ def fused_gate_sigma_gather_pallas(
     if not (bn > max(sub, 128)):
         sub = 0
     slots = max(int(os.environ.get("GNNOME_EPILOG_SLOTS", "2")), 2)
+    split = os.environ.get("GNNOME_EPILOG_SPLIT", "0") == "1"
+    # per-slot scratch: gate + e_in + e_new-staging chunks, the value
+    # windows, and two ids tiles — clamp depth to ~10 MB total scratch
+    per_slot = (
+        ch * d * (gate_raw_sorted.dtype.itemsize
+                  + 2 * e_in_sorted.dtype.itemsize)
+        + (SUBCHUNKS // value_plan.group) * 2 * value_plan.wr * d
+        * values_table.dtype.itemsize
+        + 2 * SUBCHUNKS * LANE * 4
+    )
+    slots = max(2, min(slots, 10_000_000 // max(per_slot, 1)))
 
     kernel = functools.partial(
         _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
         wr=value_plan.wr, group=value_plan.group, sub=sub, slots=slots,
+        split=split,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

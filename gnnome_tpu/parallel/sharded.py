@@ -132,11 +132,24 @@ class EdgeShard:
     ref_order_w0: jax.Array  # int32 [B, P, S_e, 2] over ref_order
     ref_inv_w0: jax.Array  # int32 [B, P, S_e, 2] over ref_inv_order
     ref_expand_w0: jax.Array  # int32 [B, P, S_e, 2] over clamped ref_segment_ids
+    # per-combined-row [min, max] canonical edge positions (reverse-
+    # unsorted aggregation bounds, cf. core.graph canon_lo/hi)
+    canon_lo: jax.Array  # int32 [B, P, N_local + P·H]
+    canon_hi: jax.Array  # int32 [B, P, N_local + P·H]
     key_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_order_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_inv_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_expand_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
+    key_gr: int = dataclasses.field(default=1, metadata=dict(static=True))
+    ref_gr: int = dataclasses.field(default=1, metadata=dict(static=True))
+    ref_order_gr: int = dataclasses.field(default=1, metadata=dict(static=True))
+    ref_inv_gr: int = dataclasses.field(default=1, metadata=dict(static=True))
+    ref_expand_gr: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # True when EVERY shard's ref ids are canonically banded (streamed
+    # chunks ≤ 1.7× real) — the static reverse-unsorted dispatch guard,
+    # uniform across ranks by construction
+    rev_ok: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -159,37 +172,55 @@ _SHARD_STATIC = tuple(
     f.name for f in dataclasses.fields(EdgeShard)
     if f.metadata.get("static")
 )
-_PLAN_FIELDS = (  # (w0 field, wr field, runtime dict key)
-    ("key_w0", "key_wr", "_key_plan"),
-    ("ref_w0", "ref_wr", "_ref_plan"),
-    ("ref_order_w0", "ref_order_wr", "_ref_order_plan"),
-    ("ref_inv_w0", "ref_inv_wr", "_ref_inv_plan"),
-    ("ref_expand_w0", "ref_expand_wr", "_ref_expand_plan"),
+_PLAN_FIELDS = (  # (w0 field, wr field, group field, runtime dict key)
+    ("key_w0", "key_wr", "key_gr", "_key_plan"),
+    ("ref_w0", "ref_wr", "ref_gr", "_ref_plan"),
+    ("ref_order_w0", "ref_order_wr", "ref_order_gr", "_ref_order_plan"),
+    ("ref_inv_w0", "ref_inv_wr", "ref_inv_gr", "_ref_inv_plan"),
+    ("ref_expand_w0", "ref_expand_wr", "ref_expand_gr", "_ref_expand_plan"),
 )
 
 
-def _plan_rows(ids_rows: np.ndarray, n_rows: int) -> Tuple[np.ndarray, int]:
+def _plan_rows(
+    ids_rows: np.ndarray, n_rows: int
+) -> Tuple[np.ndarray, int, int]:
     """Banded windows for a [R, L] stack of ids arrays under ONE static
-    window width (max over rows — the pallas dispatch must be uniform
-    across shard_map ranks). Returns (w0 [R, S, 2], wr); wr == 0 when any
-    row lacks a two-window cover (callers then use ``jnp.take``)."""
+    (group, width) — the pallas dispatch must be uniform across shard_map
+    ranks. Groups are cost-picked like ``plan_windows_auto`` (window-
+    stream bytes/id ∝ wr/group first): grouped plans serve up to 8
+    consecutive subrows from one window pair, the round-2 window-reuse
+    lever the sharded path previously forwent. Returns (w0 [R, S, 2], wr,
+    group); wr == 0 when no (group, width) covers every row (callers then
+    use ``jnp.take``)."""
     from gnnome_tpu.ops.banded import plan_windows
 
-    plans = [plan_windows(r, n_rows) for r in ids_rows]
     # disabled plans keep one dummy row (NOT zero-size: XLA forces
     # zero-size inputs to replicated, clashing with the shard_map spec)
     none = np.zeros((len(ids_rows), 1, 2), np.int32)
-    if not all(p.ok for p in plans):
-        return none, 0
-    wr = max(p.wr for p in plans)
-    out = []
-    for p, r in zip(plans, ids_rows):
-        if p.wr != wr:
-            p = plan_windows(r, n_rows, widths=(wr,))
-            if not p.ok:
-                return none, 0
-        out.append(np.asarray(p.w0))
-    return np.stack(out).astype(np.int32), wr
+    best = None  # (cost, w0_stack, wr, group)
+    for group in (8, 4, 2, 1):
+        if ids_rows.shape[-1] % (group * 128) != 0:
+            continue
+        plans = [plan_windows(r, n_rows, group=group) for r in ids_rows]
+        if not all(p.ok for p in plans):
+            continue
+        wr = max(p.wr for p in plans)
+        out = []
+        for p, r in zip(plans, ids_rows):
+            if p.wr != wr:
+                p = plan_windows(r, n_rows, widths=(wr,), group=group)
+                if not p.ok:
+                    out = None
+                    break
+            out.append(np.asarray(p.w0))
+        if out is None:
+            continue
+        cost = wr / group
+        if best is None or cost < best[0]:
+            best = (cost, np.stack(out).astype(np.int32), wr, group)
+    if best is None:
+        return none, 0, 1
+    return best[1], best[2], best[3]
 
 
 def _sorted_csr_arrays(keys: np.ndarray, n_rows: int) -> Dict[str, np.ndarray]:
@@ -259,6 +290,9 @@ def _build_edge_shard(
         "send_inv_order": np.zeros((n_shards, n_shards * h_halo), np.int32),
         "send_offsets": np.zeros((n_shards, n_local + 1), np.int32),
         "send_segment_ids": np.zeros((n_shards, n_shards * h_halo), np.int32),
+        "canon_lo": np.full((n_shards, n_comb), np.int32(2**30 - 1), np.int32),
+        "canon_hi": np.full((n_shards, n_comb), -1, np.int32),
+        "rev_banded": np.zeros(n_shards, bool),
     }
     for p in range(n_shards):
         lo, hi = int(bounds[p]), int(bounds[p + 1])
@@ -295,6 +329,31 @@ def _build_edge_shard(
         out["ref_inv_order"][p] = csr["inv_order"]
         out["ref_offsets"][p] = csr["offsets"]
         out["ref_segment_ids"][p] = csr["segment_ids"]
+
+        # reverse-unsorted bounds: per combined-table row, [min, max]
+        # canonical positions of its edges + the bandedness guard (same
+        # reduceat-over-nonzero-segments logic as core.graph's canon_lo/hi)
+        offs = csr["offsets"].astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        nz = lens > 0
+        if cnt > 0 and nz.any():
+            ord_real = csr["order"][:cnt].astype(np.int64)
+            starts_nz = offs[:-1][nz]
+            out["canon_lo"][p][nz] = np.minimum.reduceat(
+                ord_real, starts_nz).astype(np.int32)
+            out["canon_hi"][p][nz] = np.maximum.reduceat(
+                ord_real, starts_nz).astype(np.int32)
+        from gnnome_tpu.ops.spmm_pallas import _pick_block_nodes
+
+        bn, ch = _pick_block_nodes(n_comb, 512), 1024
+        if n_comb % bn == 0 and e_bucket % ch == 0:
+            lo_b = out["canon_lo"][p].reshape(-1, bn).min(axis=1).astype(np.int64)
+            hi_b = out["canon_hi"][p].reshape(-1, bn).max(axis=1).astype(np.int64)
+            c_lo = lo_b // ch
+            c_hi = np.where(hi_b >= 0, hi_b // ch + 1, 0)
+            streamed = np.maximum(c_hi - np.minimum(c_lo, c_hi), 0).sum()
+            out["rev_banded"][p] = bool(
+                streamed <= 1.7 * max(1, -(-max(cnt, 1) // ch)))
 
         # send lists: rows of p's block that each peer q needs (slot q)
         send_keys = np.full(n_shards * h_halo, PAD_SEGMENT, np.int64)
@@ -384,8 +443,9 @@ def prepare_batch(
 
     def stack_shard(dicts: List[Dict[str, np.ndarray]]) -> EdgeShard:
         d = {k: np.stack([dd[k] for dd in dicts]) for k in dicts[0]}
-        # band plans over the stacked [B, P, E_b] ids (one static wr per
-        # field across the whole batch — see EdgeShard docstring)
+        rev_ok = bool(np.all(d.pop("rev_banded")))
+        # band plans over the stacked [B, P, E_b] ids (one static
+        # (group, wr) per field across the whole batch — see EdgeShard)
         b, p_sh, e_b = d["key_local"].shape
         n_loc = d["offsets"].shape[-1] - 1
         n_comb = d["ref_offsets"].shape[-1] - 1
@@ -397,19 +457,20 @@ def prepare_batch(
             return w0.reshape(b, p_sh, -1, 2)
 
         kl = flat(d["key_local"])
-        key_w0, key_wr = _plan_rows(np.where(kl < n_loc, kl, 0), n_loc)
-        ref_w0, ref_wr = _plan_rows(flat(d["ref"]), n_comb)
-        ro_w0, ro_wr = _plan_rows(flat(d["ref_order"]), e_b)
-        ri_w0, ri_wr = _plan_rows(flat(d["ref_inv_order"]), e_b)
+        key_w0, key_wr, key_gr = _plan_rows(np.where(kl < n_loc, kl, 0), n_loc)
+        ref_w0, ref_wr, ref_gr = _plan_rows(flat(d["ref"]), n_comb)
+        ro_w0, ro_wr, ro_gr = _plan_rows(flat(d["ref_order"]), e_b)
+        ri_w0, ri_wr, ri_gr = _plan_rows(flat(d["ref_inv_order"]), e_b)
         rsg = flat(d["ref_segment_ids"])
-        re_w0, re_wr = _plan_rows(np.where(rsg < n_comb, rsg, 0), n_comb)
+        re_w0, re_wr, re_gr = _plan_rows(np.where(rsg < n_comb, rsg, 0), n_comb)
         return EdgeShard(
             **d,
-            key_w0=rs4(key_w0), key_wr=key_wr,
-            ref_w0=rs4(ref_w0), ref_wr=ref_wr,
-            ref_order_w0=rs4(ro_w0), ref_order_wr=ro_wr,
-            ref_inv_w0=rs4(ri_w0), ref_inv_wr=ri_wr,
-            ref_expand_w0=rs4(re_w0), ref_expand_wr=re_wr,
+            key_w0=rs4(key_w0), key_wr=key_wr, key_gr=key_gr,
+            ref_w0=rs4(ref_w0), ref_wr=ref_wr, ref_gr=ref_gr,
+            ref_order_w0=rs4(ro_w0), ref_order_wr=ro_wr, ref_order_gr=ro_gr,
+            ref_inv_w0=rs4(ri_w0), ref_inv_wr=ri_wr, ref_inv_gr=ri_gr,
+            ref_expand_w0=rs4(re_w0), ref_expand_wr=re_wr, ref_expand_gr=re_gr,
+            rev_ok=rev_ok,
         )
 
     batch = ShardedBatch(
@@ -741,10 +802,42 @@ def _sharded_gated_gcn_layer(
     # over its out-edges j→i. a3h[i] is local (i = dst = keyed endpoint);
     # the key j may be remote — partial-sum into the combined table and
     # return halo partials to their owners.
-    from gnnome_tpu.ops.segment import _fused_sigma_aggregate as _fsa
+    from gnnome_tpu.ops.segment import (
+        _fused_sigma_aggregate as _fsa,
+        _fused_sigma_reverse_unsorted,
+        default_backend,
+    )
 
-    a3_dst = _key_gather(a3h, fwd, backend)
-    comb = _fsa(e_new, a3_dst, ref_key, rcsr, n_comb, backend)
+    kp = fwd.get("_key_plan")
+    rp = fwd.get("_ref_plan")
+    rbackend = backend or default_backend()
+    if (
+        fwd.get("_rev_ok", False)
+        and rbackend in ("pallas", "pallas_interpret")
+        and d % 128 == 0
+        and kp is not None and kp.ok and rp is not None and rp.ok
+        and 2 * (8 // kp.group) * 2 * kp.wr * max(d, 128) * itemsize
+        <= 5_500_000
+    ):
+        # permutation-free: stream e_new in the shard's canonical
+        # (dst-sorted) order and one-hot on the UNSORTED ref key — the
+        # ref sort, its order/inv window streams, and the separate
+        # a3h[dst] gather do not exist on this path (the single-chip
+        # reverse-unsorted kernel over the combined table)
+        safe_key2 = jnp.where(key_pad < n_local, key_pad, 0)
+        csr_rev = CSR(
+            identity=False,
+            order=fwd["ref_order"], inv_order=fwd["ref_inv_order"],
+            offsets=fwd["ref_offsets"], segment_ids=fwd["ref_segment_ids"],
+            key_plan=rp, canon_lo=fwd["canon_lo"], canon_hi=fwd["canon_hi"],
+            canon_banded=True,
+        )
+        comb = _fused_sigma_reverse_unsorted(
+            a3h, e_new, ref_key, safe_key2, csr_rev, csr_f, n_comb, backend,
+        )
+    else:
+        a3_dst = _key_gather(a3h, fwd, backend)
+        comb = _fsa(e_new, a3_dst, ref_key, rcsr, n_comb, backend)
     agg_b = _halo_reduce(comb, fwd, n_shards, backend)
     h_bwd = agg_b[:, :d] / (agg_b[:, d:] + eps)
 
@@ -875,10 +968,14 @@ def make_sharded_loss(
 
         def shard_dict(t: EdgeShard) -> Dict[str, jax.Array]:
             d = {k: getattr(t, k)[0, 0] for k in _SHARD_ARRAYS}
-            for w0_f, wr_f, key in _PLAN_FIELDS:
+            for w0_f, wr_f, gr_f, key in _PLAN_FIELDS:
                 wr = getattr(t, wr_f)
                 w0 = d.pop(w0_f)
-                d[key] = BandPlan(ok=True, wr=wr, w0=w0) if wr > 0 else None
+                d[key] = (
+                    BandPlan(ok=True, wr=wr, w0=w0, group=getattr(t, gr_f))
+                    if wr > 0 else None
+                )
+            d["_rev_ok"] = t.rev_ok
             return d
 
         fwd = shard_dict(fwd_t)

@@ -163,11 +163,26 @@ def test_rev_bwd_fused_dispatch_and_parity(rng, monkeypatch):
                                rtol=2e-5, atol=2e-4)
 
 
-@pytest.mark.parametrize("sigma_sub", ["0", "256"])
-def test_sigma_unsorted_subtile_parity(rng, monkeypatch, sigma_sub):
+@pytest.mark.parametrize(
+    "env",
+    [
+        {"GNNOME_SIGMA_SUB": "0"},
+        {"GNNOME_SIGMA_SUB": "256"},
+        {"GNNOME_SIGMA_SUB": "256", "GNNOME_SIGMA_SLOTS": "4"},
+        {"GNNOME_SIGMA_SUB": "0", "GNNOME_SIGMA_SLOTS": "3",
+         "GNNOME_SIGMA_SPLIT": "1"},
+        {"GNNOME_SIGMA_SUB": "256", "GNNOME_SIGMA_SPLIT": "1"},
+    ],
+    ids=["sub0", "sub256", "sub256_slots4", "sub0_slots3_split",
+         "sub256_split"],
+)
+def test_sigma_unsorted_subtile_parity(rng, monkeypatch, env):
     """The unsorted σ-aggregate forward is unchanged by its subtile
-    accumulate (GNNOME_SIGMA_SUB), on both branch-mix fixtures."""
-    monkeypatch.setenv("GNNOME_SIGMA_SUB", sigma_sub)
+    accumulate (GNNOME_SIGMA_SUB), pipeline depth (GNNOME_SIGMA_SLOTS),
+    and split accumulate chains (GNNOME_SIGMA_SPLIT), on both branch-mix
+    fixtures."""
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
     for extra in (4.0, 0.02):
         g = _graph(rng, 500, extra)
         if not reverse_unsorted_supported(g, D, 4, "pallas_interpret"):

@@ -239,3 +239,48 @@ def test_sharded_fused_suite_matches_single_device(rng, monkeypatch):
                     jax.tree_util.tree_leaves(gref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_reverse_unsorted_dispatch(rng, monkeypatch):
+    """Round-4: at P=1 (the sharded@1 scaling denominator — no halo, so
+    every combined-table block is canonically banded) the sharded layer's
+    reverse aggregation takes the permutation-free reverse-unsorted kernel
+    (the single-chip path) — dispatch-spied — and the loss + grads still
+    match single-device XLA. At P>1 the peer-major halo blocks span the
+    full canonical range, ``rev_ok`` correctly stays False, and the
+    composed path runs (covered by the parity tests above)."""
+    import gnnome_tpu.ops.segment as seg
+
+    mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
+    cfg128 = ModelConfig(num_gnn_layers=2, hidden_features=128,
+                         hidden_edge_features=8, hidden_edge_scores=16,
+                         nb_pos_enc=8)
+    # dense enough that real chunks ≫ the per-block streaming floor (the
+    # bandedness guard's small-scale artifact; assembly graphs at bench
+    # scale clear it comfortably)
+    sample = make_chain_sample(rng, n=4096, skips=20_000)
+    batch = prepare_batch([sample], mesh)
+    assert batch.fwd.rev_ok, "chain fixture must be canonically banded at P=1"
+    params = init_model_params(jax.random.PRNGKey(5), cfg128)
+    pw = jnp.float32(1.2)
+
+    ref, gref = jax.value_and_grad(
+        lambda p: single_device_loss(p, sample, pw, cfg128))(params)
+
+    calls = {"rev": 0}
+    real = seg._fused_sigma_reverse_unsorted
+
+    def spy(*a, **k):
+        calls["rev"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(seg, "_fused_sigma_reverse_unsorted", spy)
+    loss_fn = make_sharded_loss(mesh, batch_norm=True,
+                                backend="pallas_interpret")
+    sh, gsh = jax.jit(jax.value_and_grad(loss_fn))(params, batch, pw)
+    assert calls["rev"] >= 1, "reverse-unsorted did not dispatch sharded"
+    np.testing.assert_allclose(float(sh), float(ref), rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gsh),
+                    jax.tree_util.tree_leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -97,8 +97,20 @@ def _run(g, backend):
     return val, grads, sums, e_new
 
 
+@pytest.mark.parametrize(
+    "env",
+    [
+        {},
+        {"GNNOME_EPILOG_SLOTS": "4"},
+        {"GNNOME_EPILOG_SPLIT": "1"},
+        {"GNNOME_EPILOG_SLOTS": "3", "GNNOME_EPILOG_SPLIT": "1"},
+    ],
+    ids=["default", "slots4", "split", "slots3_split"],
+)
 @pytest.mark.parametrize("extra,branch", [(5.0, "narrow"), (0.05, "fallback")])
-def test_subtile_matches_xla(rng, extra, branch):
+def test_subtile_matches_xla(rng, monkeypatch, extra, branch, env):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
     g = _graph(rng, 500, extra)
     frac = _narrow_fraction(g)
     if branch == "narrow":
