@@ -190,17 +190,34 @@ def main() -> None:
         log(f"sharded@1: {dt*1e3:.1f} ms/step, {e_real/dt/1e6:.2f} M edges/s")
     eps_primary = bench(primary, graph, e_feat, pe, y, e_real)
     vs = 1.0
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_XLA_CACHE.json")
+    cache_key = f"{n_nodes}x{n_edges}x{n_layers}x{dtype}@group"
+    xla_cache = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            xla_cache = json.load(f)
     if on_tpu and os.environ.get("BENCH_COMPARE", "1") != "0":
         # The XLA scatter-add path (DGL-equivalent lowering) compiles
-        # pathologically slowly at full scale; compare at a capped size
-        # unless BENCH_COMPARE_FULL=1 accepts the compile wait and runs
-        # the same-scale, same-remat ratio.
+        # pathologically slowly at full scale; the SAME-SCALE, same-remat
+        # ratio is what vs_baseline reports, with the (code-invariant) XLA
+        # leg measured once and cached. BENCH_COMPARE_FULL=1 re-measures
+        # the XLA leg and refreshes the cache.
         if os.environ.get("BENCH_COMPARE_FULL", "0") == "1":
             eps_pg = bench("pallas", graph, e_feat, pe, y, e_real,
                            remat_mode="group")
             eps_xg = bench("xla", graph, e_feat, pe, y, e_real,
                            remat_mode="group")
             vs = eps_pg / eps_xg
+            xla_cache[cache_key] = eps_xg
+            with open(cache_path, "w") as f:
+                json.dump(xla_cache, f, indent=1)
+        elif cache_key in xla_cache:
+            log(f"same-scale compare vs cached XLA leg "
+                f"({xla_cache[cache_key]:.0f} edges/s)")
+            eps_pg = bench("pallas", graph, e_feat, pe, y, e_real,
+                           remat_mode="group")
+            vs = eps_pg / xla_cache[cache_key]
         elif e_real > 250_000:
             g2, e2 = build_bench_graph(30_000, 200_000)
             rng2 = np.random.default_rng(2)

@@ -65,11 +65,32 @@ def _pick_block_nodes(num_segments: int, prefer: int) -> int:
     return BLOCK_NODES
 
 
-def _env_sub(name: str, default: int) -> int:
-    """Subtile-window height knob: f32 VMEM stores need sublane (8-row)
-    alignment, so round any hand-set value down to a multiple of 8
-    (0 disables the subtile path)."""
-    sub = int(os.environ.get(name, str(default)))
+def _policy_sub(num_segments: int, e_pad: int, bn: int) -> int:
+    """Span-keyed subtile height (per-graph auto policy): the expected
+    in-block id span of a 1024-edge chunk is 1024·N/E rows — for sorted
+    ids exactly, for banded-unsorted ids approximately. Pick the smallest
+    supported window with ~20% headroom so the narrow branch fires on
+    nearly every chunk; 0 (full-block accumulate) when typical chunks
+    would overflow every window (low-degree chain-like graphs, where the
+    subtile's second code path would be dead weight). Validated against
+    the measured sweeps at 200k and 1M edges (scripts/sweep_epilog.py,
+    scripts/sweep_segsum.py)."""
+    span = CHUNK_EDGES * num_segments / max(e_pad, 1)
+    for sub in (128, 192, 256):
+        if span * 1.2 <= sub and sub < bn:
+            return sub
+    return 0
+
+
+def _env_sub(name: str, policy: int) -> int:
+    """Subtile-window height knob: unset (or the legacy "1") defers to the
+    span-keyed per-graph policy; explicit values are rounded down to
+    sublane (8-row) alignment — f32 VMEM stores need it (0 disables the
+    subtile path)."""
+    raw = os.environ.get(name)
+    if raw is None or raw == "1":
+        return policy
+    sub = int(raw)
     return max(sub - sub % 8, 0)
 
 
@@ -272,10 +293,13 @@ def _segment_sum_sub_kernel(
     jax.lax.fori_loop(0, hi - lo, body, 0)
 
 
-def _segsum_variant(num_segments: int):
-    """(sub, slots, split, prefer_bn) from env — the measured default is
-    set after the round-3 kernel sweep (PERFORMANCE.md)."""
-    sub = _env_sub("GNNOME_SEGSUM_SUB", 192)
+def _segsum_variant(num_segments: int, e_pad: int):
+    """(sub, slots, split, prefer_bn): subtile height from the span-keyed
+    per-graph policy (env-overridable), slot depth / split from the
+    round-3/4 kernel sweeps (PERFORMANCE.md)."""
+    bn0 = _pick_block_nodes(
+        num_segments, int(os.environ.get("GNNOME_SEGSUM_BN", "512")))
+    sub = _env_sub("GNNOME_SEGSUM_SUB", _policy_sub(num_segments, e_pad, bn0))
     slots = int(os.environ.get("GNNOME_SEGSUM_SLOTS", "4"))
     split = os.environ.get("GNNOME_SEGSUM_SPLIT", "0") == "1"
     if sub:
@@ -346,7 +370,7 @@ def _forward(
         out = _forward(data_sorted, segment_ids_sorted, offsets,
                        num_segments, interpret)
         return out[:, :d]
-    sub, slots, split, bn = _segsum_variant(num_segments)
+    sub, slots, split, bn = _segsum_variant(num_segments, e_pad)
     ch = CHUNK_EDGES
     assert e_pad % ch == 0, f"edge count {e_pad} not a multiple of {ch}"
     assert num_segments % bn == 0, (
@@ -390,7 +414,7 @@ def segment_sum_unsorted_pallas(
             data_canonical, ids_canonical, canon_lo, canon_hi,
             num_segments, interpret)
         return out[:, :d]
-    sub, slots, split, bn = _segsum_variant(num_segments)
+    sub, slots, split, bn = _segsum_variant(num_segments, e_pad)
     ch = CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
     nblocks = num_segments // bn
@@ -1715,11 +1739,13 @@ def fused_sigma_unsorted_pallas(
     chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
     ids_2d = src_ids.reshape(e_pad // LANE, LANE)
     vids_2d = dst_ids.reshape(e_pad // LANE, LANE)
-    sub = _env_sub("GNNOME_SIGMA_SUB", 256)
+    sub = _env_sub("GNNOME_SIGMA_SUB", _policy_sub(num_segments, e_pad, bn))
     if sub >= bn:
         sub = 0
-    slots = max(int(os.environ.get("GNNOME_SIGMA_SLOTS", "2")), 2)
-    split = os.environ.get("GNNOME_SIGMA_SPLIT", "0") == "1"
+    # measured defaults (scripts/sweep_epilog.py, 1M edges, v5e):
+    # slots=4 + split 5.42 ms vs 5.69 at the old double-buffer default
+    slots = max(int(os.environ.get("GNNOME_SIGMA_SLOTS", "4")), 2)
+    split = os.environ.get("GNNOME_SIGMA_SPLIT", "1") == "1"
     # per-slot scratch: value windows + the e_new chunk + two ids tiles —
     # clamp the pipeline depth so total scratch stays within ~10 MB VMEM
     per_slot = (
@@ -2267,12 +2293,16 @@ def fused_gate_sigma_gather_pallas(
     cfirst = jnp.min(jnp.where(real_ch, ids_ch, PAD_SEGMENT),
                      axis=1).astype(jnp.int32)
     clast = jnp.max(jnp.where(real_ch, ids_ch, -1), axis=1).astype(jnp.int32)
-    # GNNOME_SUBTILE: "0" off, "1" the 256-row default, else a window size
-    sub_env = os.environ.get("GNNOME_SUBTILE", "1")
-    sub = 256 if sub_env == "1" else _env_sub("GNNOME_SUBTILE", 256)
+    # GNNOME_SUBTILE: "0" off, unset/"1" the span-keyed per-graph policy,
+    # else an explicit window height
+    sub = _env_sub("GNNOME_SUBTILE", _policy_sub(num_segments, e_pad, bn))
     if not (bn > max(sub, 128)):
         sub = 0
-    slots = max(int(os.environ.get("GNNOME_EPILOG_SLOTS", "2")), 2)
+    # measured defaults (scripts/sweep_epilog.py, 1M edges, v5e): slots=3
+    # with the policy subtile is the sweep best (7.60 ms vs 8.11 at
+    # slots=2); split is OFF by default here — the subtile+split variant
+    # hits a pathological Mosaic compile (>20 min)
+    slots = max(int(os.environ.get("GNNOME_EPILOG_SLOTS", "3")), 2)
     split = os.environ.get("GNNOME_EPILOG_SPLIT", "0") == "1"
     # per-slot scratch: gate + e_in + e_new-staging chunks, the value
     # windows, and two ids tiles — clamp depth to ~10 MB total scratch

@@ -96,6 +96,23 @@ def test_segsum_subtile_parity(rng, monkeypatch, extra, env):
     np.testing.assert_allclose(out_s, ref_s, rtol=0, atol=2e-5)
 
 
+def test_policy_sub_span_keyed():
+    """The per-graph subtile policy picks the smallest window with ~20%
+    headroom over the expected 1024-edge chunk span (1024·N/E), and
+    disables the subtile on low-degree graphs where typical chunks would
+    overflow every window."""
+    from gnnome_tpu.ops.spmm_pallas import _policy_sub
+
+    # bench-graph ratio (deg ~6.7 → span ~154) → 192, the measured best
+    assert _policy_sub(150_016, 1_000_448, 512) == 192
+    # dense tangles (deg ~12 → span ~85) → 128
+    assert _policy_sub(12_800, 153_600, 512) == 128
+    # near-chain (deg ~2 → span ~512) → full-block accumulate
+    assert _policy_sub(4_096, 8_192, 512) == 0
+    # window must stay below the block height
+    assert _policy_sub(150_016, 1_000_448, 128) == 0
+
+
 def test_segsum_subtile_branch_coverage(rng):
     """The two fixtures really exercise opposite branches: host replica of
     the kernel's span math (sorted caller, sub=192, bn=512)."""
