@@ -60,10 +60,13 @@ def _walk(
     vg: bytearray,  # global visited
     vw: bytearray,  # this walk's visited — updated in place
     max_steps: int,
+    min_score: float = -inf,
 ) -> List[int]:
     """One greedy walk (``inference.py:31-52``): single-neighbor hops are
     taken unconditionally (no visited check), multi-neighbor hops first-max
-    the score over neighbors absent from both visited sets."""
+    the score over neighbors absent from both visited sets. ``min_score``
+    (raw-logit floor, -inf = reference semantics) halts the walk before
+    taking any edge scoring below it — single-neighbor hops included."""
     node = start
     lst: List[int] = []
     nbrs_all, scores_all = adj.nbrs, adj.scores
@@ -76,6 +79,8 @@ def _walk(
         if k == 0 or len(lst) >= max_steps:
             break
         if k == 1:
+            if scores_all[node][0] < min_score:
+                break
             node = nbrs[0]
             continue
         scs = scores_all[node]
@@ -88,7 +93,7 @@ def _walk(
                 if s > best_s:
                     best_s = s
                     best = nb
-        if best < 0:
+        if best < 0 or best_s < min_score:
             break
         node = best
     return lst
@@ -121,6 +126,7 @@ def get_contigs_batched(
     nb_paths: int = 50,
     len_threshold: int = 20,
     seed: int = 0,
+    min_score: float = -inf,
 ) -> List[List[int]]:
     """Drop-in replacement for ``greedy.get_contigs`` (fast data layout)."""
     rng = np.random.default_rng(seed)
@@ -154,8 +160,8 @@ def get_contigs_batched(
         for eid in seed_ids:
             s, d = int(src[eid]), int(dst[eid])
             vw = bytearray(nn)
-            walk_f = _walk(d, adj_f, visited_global, vw, max_steps)
-            walk_b = _walk(s, adj_b, visited_global, vw, max_steps)
+            walk_f = _walk(d, adj_f, visited_global, vw, max_steps, min_score)
+            walk_b = _walk(s, adj_b, visited_global, vw, max_steps, min_score)
             walk = walk_b[::-1] + walk_f
             length = _walk_length(walk, adj_f, prefix_length, read_length)
             if length > best_len:

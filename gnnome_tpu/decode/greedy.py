@@ -47,8 +47,14 @@ def walk_forwards(
     neighbors: Dict[int, List[int]],
     edges: Dict[Tuple[int, int], int],
     visited_old: Set[int],
+    min_score: float = float("-inf"),
 ) -> Tuple[List[int], Set[int]]:
-    """Greedy forward walk (``inference.py:31-52``)."""
+    """Greedy forward walk (``inference.py:31-52``).
+
+    ``min_score`` (raw-logit confidence floor, default -inf = reference
+    semantics) halts the walk when the edge about to be taken scores
+    below it — including the single-neighbor unconditional hop.
+    """
     current = start
     walk: List[int] = []
     visited: Set[int] = set()
@@ -60,13 +66,18 @@ def walk_forwards(
         if len(nbrs) == 0:
             break
         if len(nbrs) == 1:
+            if edge_scores[edges[(current, nbrs[0])]] < min_score:
+                break
             current = nbrs[0]
             continue
         masked = [n for n in nbrs if n not in visited_old and n not in visited]
         if not masked:
             break
         scores = [edge_scores[edges[(current, n)]] for n in masked]
-        current = masked[int(np.argmax(scores))]
+        j = int(np.argmax(scores))
+        if scores[j] < min_score:
+            break
+        current = masked[j]
     return walk, visited
 
 
@@ -76,8 +87,10 @@ def walk_backwards(
     predecessors: Dict[int, List[int]],
     edges: Dict[Tuple[int, int], int],
     visited_old: Set[int],
+    min_score: float = float("-inf"),
 ) -> Tuple[List[int], Set[int]]:
-    """Greedy backward walk (``inference.py:55-77``)."""
+    """Greedy backward walk (``inference.py:55-77``); ``min_score`` as in
+    :func:`walk_forwards`."""
     current = start
     walk: List[int] = []
     visited: Set[int] = set()
@@ -89,13 +102,18 @@ def walk_backwards(
         if len(preds) == 0:
             break
         if len(preds) == 1:
+            if edge_scores[edges[(preds[0], current)]] < min_score:
+                break
             current = preds[0]
             continue
         masked = [n for n in preds if n not in visited_old and n not in visited]
         if not masked:
             break
         scores = [edge_scores[edges[(n, current)]] for n in masked]
-        current = masked[int(np.argmax(scores))]
+        j = int(np.argmax(scores))
+        if scores[j] < min_score:
+            break
+        current = masked[j]
     walk.reverse()
     return walk, visited
 
@@ -122,6 +140,7 @@ def get_contigs(
     len_threshold: int = 20,
     seed: int = 0,
     engine: str = "batched",
+    min_prob: float = 0.0,
 ) -> List[List[int]]:
     """Iterative contig extraction (``inference.py:182-253``).
 
@@ -129,13 +148,22 @@ def get_contigs(
     (default) advances the ``nb_paths`` candidate walks in vectorized
     lockstep (decode/batched.py) — bit-identical results, far less Python
     per step; ``'sequential'`` is the direct reference restatement below.
+    ``min_prob`` > 0 stops extending a walk once the next edge's sigmoid
+    probability drops below it (see DecodeConfig.min_prob); only
+    meaningful when ``scores`` are logits, so baseline decodes (raw
+    overlap metrics) must leave it at 0.
     """
+    min_score = (
+        float("-inf") if min_prob <= 0.0
+        else float(np.log(min_prob) - np.log1p(-min_prob))
+    )
     if engine == "batched":
         from gnnome_tpu.decode.batched import get_contigs_batched
 
         return get_contigs_batched(
             src, dst, scores, succs, preds, edges, prefix_length,
             read_length, nb_paths, len_threshold, seed,
+            min_score=min_score,
         )
     rng = np.random.default_rng(seed)
     probs = 1.0 / (1.0 + np.exp(-scores))
@@ -170,9 +198,11 @@ def get_contigs(
         best_visited: Set[int] = set()
         for eid in seed_ids:
             s, d = int(src[eid]), int(dst[eid])
-            walk_f, visited_f = walk_forwards(d, scores, succs, edges, visited)
+            walk_f, visited_f = walk_forwards(
+                d, scores, succs, edges, visited, min_score
+            )
             walk_b, visited_b = walk_backwards(
-                s, scores, preds, edges, visited | visited_f
+                s, scores, preds, edges, visited | visited_f, min_score
             )
             walk = walk_b + walk_f
             length = get_contig_length(walk, prefix_length, read_length, edges)

@@ -108,6 +108,7 @@ def inference(
             nb_paths=cfg.decode.num_decoding_paths,
             len_threshold=cfg.decode.len_threshold,
             seed=cfg.train.seed,
+            min_prob=cfg.decode.min_prob,
         )
         log_fn(f"graph {idx}: decoded {len(walks)} walks in {time.time()-t0:.2f}s")
         with open(os.path.join(inference_dir, f"{idx}_walks.pkl"), "wb") as f:
