@@ -95,6 +95,16 @@ class CSR:
     # unsorted segment-sum (ops/spmm_pallas.segment_sum_unsorted_pallas)
     # for every transpose reduction over this CSR.
     key_canonical: object = None  # Optional[int32[E_pad]]
+    # streaming segment-sum plan (ops/spmm_pallas._segment_sum_stream_kernel):
+    # one edge-major pass over all chunks with a sliding VMEM out-window —
+    # ``stream_safe[c]`` is the F-aligned row below which no chunk > c
+    # writes (flushable after chunk c), ``stream_w`` the power-of-two window
+    # height the host simulation proved sufficient (0 = unsupported /
+    # window would exceed the VMEM cap). Computed on the ids layout this
+    # CSR streams: segment_ids for identity CSRs, key_canonical for banded
+    # transpose CSRs.
+    stream_safe: object = None  # Optional[int32[E_pad / 1024]]
+    stream_w: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -127,6 +137,50 @@ class AssemblyGraph:
     @property
     def n_edges_padded(self) -> int:
         return self.edge_mask.shape[0]
+
+
+STREAM_FLUSH = 128  # streaming segment-sum flush granularity (rows)
+STREAM_W_CAP = 2048  # max sliding-window height ([W, 256] f32 = 2 MB VMEM)
+
+
+def _stream_plan(ids: np.ndarray, n_pad: int):
+    """Host plan for the streaming (edge-major) segment-sum: per-chunk
+    F-aligned flush targets plus the power-of-two window height a
+    simulation of the kernel's (zero-frontier, flush-base) dynamics proves
+    sufficient. Returns ``(None, 0)`` when the window would exceed
+    ``STREAM_W_CAP`` (wide bands / non-monotone ids) — callers fall back
+    to the block-major kernel."""
+    e_pad = len(ids)
+    ch, F = 1024, STREAM_FLUSH
+    if e_pad % ch or n_pad % F or e_pad == 0:
+        return None, 0
+    nchunks = e_pad // ch
+    idm = np.asarray(ids).reshape(nchunks, ch).astype(np.int64)
+    valid = idm < n_pad
+    big = np.int64(2**40)
+    lo = np.where(valid, idm, big).min(axis=1)
+    hi = np.where(valid, idm, np.int64(-1)).max(axis=1)
+    # rows below safe[c] are never written by any chunk > c
+    suf = np.minimum.accumulate(lo[::-1])[::-1]
+    safe = np.empty(nchunks, np.int64)
+    safe[:-1] = suf[1:]
+    safe[-1] = big
+    safe_tgt = (np.minimum(safe, n_pad) // F) * F
+    zf = base = 0
+    w_req = F
+    run_hi = -1
+    for c in range(nchunks):
+        if hi[c] >= 0:
+            run_hi = max(run_hi, int(hi[c]))
+            zf = max(zf, -(-(run_hi + 1) // F) * F)
+            w_req = max(w_req, zf - base)
+        base = max(base, min(int(safe_tgt[c]), zf))
+    w = 256
+    while w < w_req:
+        w *= 2
+    if w > STREAM_W_CAP:
+        return None, 0
+    return safe_tgt.astype(np.int32), int(w)
 
 
 def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
@@ -203,6 +257,14 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
             canon_banded = bool(streamed <= 1.7 * max(1, -(-n_real // ch)))
         canon_lo = jnp.asarray(lo)
         canon_hi = jnp.asarray(hi)
+    # streaming segment-sum plan on the layout segment_sum_csr streams for
+    # this CSR: the sorted ids for identity, canonical-order keys otherwise
+    stream_ids = key_sorted if identity else key_canonical
+    stream_safe, stream_w = (
+        _stream_plan(np.where(stream_ids < n_pad, stream_ids, PAD_SEGMENT),
+                     n_pad)
+        if stream_ids is not None else (None, 0)
+    )
     return CSR(
         identity=identity,
         order=jnp.asarray(order),
@@ -220,6 +282,9 @@ def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,
         canon_banded=canon_banded,
         key_canonical=(None if key_canonical is None
                        else jnp.asarray(key_canonical.astype(np.int32))),
+        stream_safe=(None if stream_safe is None
+                     else jnp.asarray(stream_safe)),
+        stream_w=stream_w,
     )
 
 

@@ -106,9 +106,14 @@ def _sorted_segment_sum_raw(
     elif backend in ("pallas", "pallas_interpret"):
         from gnnome_tpu.ops.spmm_pallas import sorted_segment_sum_pallas
 
+        # the streaming plan is only valid for the layout it was computed
+        # on — segment_ids for identity CSRs (core/graph._csr_from_sorted)
+        stream_safe = csr.stream_safe if csr.identity else None
+        stream_w = csr.stream_w if csr.identity else 0
         return sorted_segment_sum_pallas(
             data_sorted, csr.segment_ids, csr.offsets, csr.expand_plan,
             num_segments, interpret=(backend == "pallas_interpret"),
+            stream_safe=stream_safe, stream_w=stream_w,
         )
     raise ValueError(f"unknown segment backend: {backend!r}")
 
@@ -148,6 +153,7 @@ def segment_sum_csr(
         return segment_sum_unsorted_pallas(
             edge_data, csr.key_canonical, csr.canon_lo, csr.canon_hi,
             num_segments, interpret=(backend == "pallas_interpret"),
+            stream_safe=csr.stream_safe, stream_w=csr.stream_w,
         )
     else:
         data_sorted = permute_rows(

@@ -361,6 +361,8 @@ def _forward(
     offsets: jax.Array,
     num_segments: int,
     interpret: bool,
+    stream_safe=None,
+    stream_w: int = 0,
 ) -> jax.Array:
     e_pad, d = data_sorted.shape
     # HBM slices must be lane-aligned (128); pad narrow feature dims
@@ -368,8 +370,14 @@ def _forward(
         d_pad = ((d + LANE - 1) // LANE) * LANE
         data_sorted = jnp.pad(data_sorted, ((0, 0), (0, d_pad - d)))
         out = _forward(data_sorted, segment_ids_sorted, offsets,
-                       num_segments, interpret)
+                       num_segments, interpret, stream_safe, stream_w)
         return out[:, :d]
+    if stream_safe is not None and stream_supported(num_segments, e_pad,
+                                                    stream_w):
+        ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
+        return _launch_segment_sum_stream(
+            data_sorted, ids_2d, stream_safe, num_segments, stream_w,
+            interpret)
     sub, slots, split, bn = _segsum_variant(num_segments, e_pad)
     ch = CHUNK_EDGES
     assert e_pad % ch == 0, f"edge count {e_pad} not a multiple of {ch}"
@@ -396,6 +404,8 @@ def segment_sum_unsorted_pallas(
     canon_hi: jax.Array,  # int32[N] max canonical position (incl.; -1 none)
     num_segments: int,
     interpret: bool = False,
+    stream_safe=None,
+    stream_w: int = 0,
 ) -> jax.Array:
     """Segment-sum WITHOUT the permute: stream canonical-order data and
     one-hot-accumulate on the unsorted ids. The one-hot never required
@@ -412,8 +422,14 @@ def segment_sum_unsorted_pallas(
         data_canonical = jnp.pad(data_canonical, ((0, 0), (0, d_pad - d)))
         out = segment_sum_unsorted_pallas(
             data_canonical, ids_canonical, canon_lo, canon_hi,
-            num_segments, interpret)
+            num_segments, interpret, stream_safe, stream_w)
         return out[:, :d]
+    if stream_safe is not None and stream_supported(num_segments, e_pad,
+                                                    stream_w):
+        ids_2d = ids_canonical.reshape(e_pad // LANE, LANE)
+        return _launch_segment_sum_stream(
+            data_canonical, ids_2d, stream_safe, num_segments, stream_w,
+            interpret)
     sub, slots, split, bn = _segsum_variant(num_segments, e_pad)
     ch = CHUNK_EDGES
     assert e_pad % ch == 0 and num_segments % bn == 0
@@ -429,7 +445,246 @@ def segment_sum_unsorted_pallas(
                                interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+STREAM_F = 128  # flush-block rows; NODE pads are multiples of 128
+
+
+def _segment_sum_stream_kernel(
+    safe_ref,  # SMEM int32[nchunks]: F-aligned flush target after chunk c
+    data_hbm,  # ANY  [E, D]
+    ids_hbm,  # ANY  int32[E // LANE, LANE]
+    out_hbm,  # ANY  f32[N, D] — written by flush DMAs only
+    window,  # VMEM f32[W, D] sliding out-window (ring, phys = row % W)
+    data_buf,  # VMEM [slots, CHUNK, D]
+    ids_buf,  # VMEM int32[slots, SUBCHUNKS, LANE]
+    sems,  # DMA sems [slots, 2]
+    fsems,  # DMA sems [R] flush ring (R = W / F)
+    *,
+    nchunks: int,
+    num_segments: int,
+    w: int,
+    sub: int,
+    slots: int,
+    out_dim: int,
+    split: bool,
+):
+    """Edge-major streaming segment-sum: ONE pass over all chunks with a
+    single `slots`-deep DMA pipeline (the block-major kernel restarts its
+    pipeline at every node block — at assembly-graph degree that is a
+    latency-exposed ~4-chunk pipeline ~300 times per call). Works for
+    sorted ids AND banded-unsorted ids: the only precomputed metadata is
+    the per-chunk flush target (suffix-min of future chunk id minima,
+    core/graph._stream_plan), which also proves the window height W.
+
+    Ring discipline (F-row flush blocks, R = W/F flush semaphores):
+    logical row r lives at phys row r % W. Invariants, host-verified by
+    the _stream_plan simulation: zero-frontier − flush-base ≤ W always,
+    so (a) zeroing block b implies flush(b−R) already started — its wait
+    is well-defined — and (b) an accumulate never touches a phys row
+    whose previous-generation flush hasn't been waited."""
+    F = STREAM_F
+    R = w // F
+
+    def data_dma(slot, c):
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+            data_buf.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def ids_dma(slot, c):
+        return pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+            ids_buf.at[slot],
+            sems.at[slot, 1],
+        )
+
+    def flush_copy(b_rows, phys):
+        return pltpu.make_async_copy(
+            window.at[pl.ds(phys, F), :],
+            out_hbm.at[pl.ds(b_rows, F), :],
+            fsems.at[jax.lax.rem(b_rows // F, R)],
+        )
+
+    for k in range(slots - 1):
+        @pl.when(k < nchunks)
+        def _(k=k):
+            data_dma(k, k).start()
+            ids_dma(k, k).start()
+
+    sub_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) if sub else None
+    )
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+
+    def zero_block(_, zf):
+        # reuse phys rows of block zf/F − R: wait its flush, then zero
+        b = zf // F
+        phys = pl.multiple_of(jax.lax.rem(zf, w), F)
+
+        @pl.when(b >= R)
+        def _():
+            flush_copy((b - R) * F, phys).wait()
+
+        window[pl.ds(phys, F), :] = jnp.zeros((F, out_dim), jnp.float32)
+        return zf + F
+
+    def flush_block(_, base):
+        phys = pl.multiple_of(jax.lax.rem(base, w), F)
+        flush_copy(base, phys).start()
+        return base + F
+
+    def accumulate(acc, row_ids, slot):
+        acc2 = jnp.zeros_like(acc) if split else None
+        for r in range(SUBCHUNKS):
+            ids_row = ids_buf[slot, r : r + 1, :]
+            onehot = (ids_row == row_ids).astype(jnp.bfloat16)
+            tile = data_buf[slot, r * LANE : (r + 1) * LANE, :]
+            if split and r % 2 == 1:
+                acc2 = _acc_matmul(acc2, onehot, tile)
+            else:
+                acc = _acc_matmul(acc, onehot, tile)
+        return acc + acc2 if split else acc
+
+    def body(c, carry):
+        base, zf = carry
+        slot = jax.lax.rem(c, slots)
+
+        @pl.when(c + slots - 1 < nchunks)
+        def _():
+            nxt = jax.lax.rem(c + slots - 1, slots)
+            data_dma(nxt, c + slots - 1).start()
+            ids_dma(nxt, c + slots - 1).start()
+
+        data_dma(slot, c).wait()
+        ids_dma(slot, c).wait()
+
+        idsv = ids_buf[slot]  # [SUBCHUNKS, LANE]
+        valid = idsv < num_segments
+        id_lo = jnp.min(jnp.where(valid, idsv, jnp.int32(2**30)))
+        id_hi = jnp.max(jnp.where(valid, idsv, -1))
+
+        # 1) extend the zero frontier to cover this chunk's rows
+        new_zf = jnp.where(id_hi >= 0, ((id_hi + F) // F) * F, zf)
+        zf = jax.lax.fori_loop(0, (jnp.maximum(new_zf, zf) - zf) // F,
+                               zero_block, zf)
+
+        # 2) accumulate the chunk into the window
+        if sub:
+            off = id_lo & ~7  # ≥ base (base is F-aligned ≤ id_lo)
+            phys_off = pl.multiple_of(jax.lax.rem(off, w), 8)
+            narrow = jnp.logical_and(id_hi < off + sub, phys_off + sub <= w)
+
+            @pl.when(jnp.logical_and(id_hi >= 0, narrow))
+            def _():
+                sub_ids = off + sub_iota
+                acc = accumulate(window[pl.ds(phys_off, sub), :],
+                                 sub_ids, slot)
+                window[pl.ds(phys_off, sub), :] = acc
+
+            wide_pred = jnp.logical_and(id_hi >= 0, jnp.logical_not(narrow))
+        else:
+            wide_pred = id_hi >= 0
+
+        @pl.when(wide_pred)
+        def _():
+            # modulo one-hot over the whole window; PAD/invalid ids are
+            # redirected to w, which matches no physical row
+            phys_ids = jnp.where(valid, idsv & (w - 1), w)
+            acc2 = jnp.zeros_like(window[...]) if split else None
+            acc = window[...]
+            for r in range(SUBCHUNKS):
+                ids_row = phys_ids[r : r + 1, :]
+                onehot = (ids_row == w_iota).astype(jnp.bfloat16)
+                tile = data_buf[slot, r * LANE : (r + 1) * LANE, :]
+                if split and r % 2 == 1:
+                    acc2 = _acc_matmul(acc2, onehot, tile)
+                else:
+                    acc = _acc_matmul(acc, onehot, tile)
+            window[...] = acc + acc2 if split else acc
+
+        # 3) flush rows no future chunk can touch
+        tgt = jnp.minimum(safe_ref[c], zf)
+        base = jax.lax.fori_loop(0, jnp.maximum(tgt - base, 0) // F,
+                                 flush_block, base)
+        return (base, zf)
+
+    base, zf = jax.lax.fori_loop(
+        0, nchunks, body, (jnp.int32(0), jnp.int32(0)))
+
+    # epilogue: flush accumulated rows [base, zf), then zero+flush the
+    # trailing (edge-less / padded) blocks up to num_segments
+    base = jax.lax.fori_loop(0, (zf - base) // F, flush_block, base)
+
+    def tail_block(_, carry):
+        base, zf = carry
+        zf = zero_block(0, zf)
+        base = flush_block(0, base)
+        return (base, zf)
+
+    base, zf = jax.lax.fori_loop(
+        0, (num_segments - zf) // F, tail_block, (base, zf))
+
+    # wait the last min(R, B) outstanding flushes (earlier ones were waited
+    # by the ring reuse in zero_block)
+    b_total = num_segments // F
+    for k in range(min(R, b_total)):
+        b = b_total - 1 - k
+        flush_copy(b * F, (b * F) % w).wait()
+
+
+def _launch_segment_sum_stream(data2d, ids_2d, safe_tgt, num_segments, w,
+                               interpret):
+    e_pad, d = data2d.shape
+    nchunks = e_pad // CHUNK_EDGES
+    sub0 = _env_sub("GNNOME_SEGSUM_SUB",
+                    _policy_sub(num_segments, e_pad, w))
+    sub = sub0 if sub0 and sub0 < w else 0
+    slots = max(int(os.environ.get("GNNOME_SEGSUM_SLOTS", "4")), 2)
+    split = os.environ.get("GNNOME_SEGSUM_SPLIT", "0") == "1"
+    kernel = functools.partial(
+        _segment_sum_stream_kernel, nchunks=nchunks,
+        num_segments=num_segments, w=w, sub=sub, slots=slots, out_dim=d,
+        split=split)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w, d), jnp.float32),
+            pltpu.VMEM((slots, CHUNK_EDGES, d), data2d.dtype),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((slots, 2)),
+            pltpu.SemaphoreType.DMA((w // STREAM_F,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_segments, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * (sub or w) * d,
+            bytes_accessed=e_pad * d * data2d.dtype.itemsize
+            + e_pad * 4 + num_segments * d * 4,
+            transcendentals=0,
+        ),
+    )(safe_tgt, data2d, ids_2d)
+
+
+def stream_supported(num_segments: int, e_pad: int, stream_w: int) -> bool:
+    return (
+        stream_w > 0
+        and os.environ.get("GNNOME_SEGSUM_STREAM", "1") != "0"
+        and e_pad % CHUNK_EDGES == 0
+        and num_segments % STREAM_F == 0
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
 def sorted_segment_sum_pallas(
     data_sorted: jax.Array,
     segment_ids_sorted: jax.Array,
@@ -437,6 +692,8 @@ def sorted_segment_sum_pallas(
     expand_plan=None,
     num_segments: int = 0,
     interpret: bool = False,
+    stream_safe=None,
+    stream_w: int = 0,
 ) -> jax.Array:
     """Segment-sum of CSR-sorted edge data into ``num_segments`` node rows.
 
@@ -446,18 +703,23 @@ def sorted_segment_sum_pallas(
     1024 and num_segments a multiple of 128. ``expand_plan`` (a
     ``BandPlan`` over the PAD-clamped segment ids, see ``CSR.expand_plan``)
     routes the backward's cotangent expansion gather through the banded
-    windowed-VMEM kernel.
+    windowed-VMEM kernel. ``stream_safe``/``stream_w`` (CSR.stream_safe /
+    stream_w, core/graph._stream_plan) route the forward through the
+    edge-major streaming kernel.
     """
-    return _forward(data_sorted, segment_ids_sorted, offsets, num_segments, interpret)
+    return _forward(data_sorted, segment_ids_sorted, offsets, num_segments,
+                    interpret, stream_safe, stream_w)
 
 
-def _fwd(data_sorted, segment_ids_sorted, offsets, expand_plan, num_segments, interpret):
-    out = _forward(data_sorted, segment_ids_sorted, offsets, num_segments, interpret)
+def _fwd(data_sorted, segment_ids_sorted, offsets, expand_plan,
+         num_segments, interpret, stream_safe, stream_w):
+    out = _forward(data_sorted, segment_ids_sorted, offsets, num_segments,
+                   interpret, stream_safe, stream_w)
     proto = jnp.zeros((0,), data_sorted.dtype)
     return out, (segment_ids_sorted, expand_plan, proto)
 
 
-def _bwd(num_segments, interpret, res, g):
+def _bwd(num_segments, interpret, stream_w, res, g):
     # d(segment_sum)/d(data) is a row gather of the cotangent; padded edges
     # (id == 2^30) receive zero. The cotangent is cast to the primal dtype
     # BEFORE the gather: at 1M edges the f32 gather outputs were the single
@@ -468,7 +730,7 @@ def _bwd(num_segments, interpret, res, g):
     backend = "pallas_interpret" if interpret else "pallas"
     grad = take_rows(g.astype(proto.dtype), segment_ids_sorted, expand_plan,
                      backend, masked=True)
-    return grad.astype(proto.dtype), None, None, None
+    return grad.astype(proto.dtype), None, None, None, None
 
 
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)

@@ -186,6 +186,43 @@ def main() -> None:
             lambda h, e: jax.grad(layer_loss)(h, e),
             same, nodes, edges)
 
+        # grad wrt params TOO — what the training step actually runs
+        # (adds the six dW matmul reductions + norm-param grads)
+        def layer_loss_p(lp_, h, e):
+            h2, e2 = gated_gcn_layer(lp_, graph, h, e, backend=backend)
+            return (jnp.sum(h2.astype(jnp.float32))
+                    + jnp.sum(e2.astype(jnp.float32)))
+
+        results["layer_fwd_bwd_params"] = timeit(
+            "gated_gcn_layer fwd+bwd incl. param grads",
+            lambda h, e: jax.grad(layer_loss_p, argnums=(0, 1, 2))(lp, h, e)[1],
+            same, nodes, edges)
+
+    # --- step-level glue: score head + encoders (model.py) ---
+    if os.environ.get("BENCH_HEAD", "1") == "1":
+        from gnnome_tpu.models.common import init_linear
+        from gnnome_tpu.models.model import score_predictor
+
+        kp = jax.random.PRNGKey(1)
+        head = {
+            "score1": init_linear(kp, 3 * d, 64, dtype),
+            "score2": init_linear(jax.random.fold_in(kp, 1), 64, 1, dtype),
+        }
+
+        def head_loss(hp, h, e):
+            s = score_predictor(hp, graph, h, e, backend=backend)
+            return jnp.sum(s.astype(jnp.float32))
+
+        results["score_head_fwd"] = timeit(
+            "score head forward",
+            lambda h, e: score_predictor(head, graph, h, e, backend=backend),
+            lambda out, old: old * (1.0 + out[0].astype(jnp.float32) * 1e-30).astype(old.dtype),
+            nodes, edges)
+        results["score_head_fwd_bwd"] = timeit(
+            "score head fwd+bwd incl. param grads",
+            lambda h, e: jax.grad(head_loss, argnums=(0, 1, 2))(head, h, e)[1],
+            same, nodes, edges)
+
     # --- primitive building blocks ---
     results["segsum_identity"] = timeit(
         "segment_sum identity (dst-sorted)",
