@@ -165,6 +165,16 @@ def get_contigs(
             read_length, nb_paths, len_threshold, seed,
             min_score=min_score,
         )
+    if engine == "tpu":
+        # device-side lockstep walks (decode/tpu_walker.py); identical
+        # semantics modulo f32 score resolution (device tables are f32)
+        from gnnome_tpu.decode.tpu_walker import get_contigs_tpu
+
+        return get_contigs_tpu(
+            src, dst, scores, succs, preds, edges, prefix_length,
+            read_length, nb_paths, len_threshold, seed,
+            min_score=min_score,
+        )
     rng = np.random.default_rng(seed)
     probs = 1.0 / (1.0 + np.exp(-scores))
     not_self = src != dst  # dgl.remove_self_loop (inference.py:184)

@@ -500,8 +500,8 @@ def _segment_sum_stream_kernel(
 
     def flush_copy(b_rows, phys):
         return pltpu.make_async_copy(
-            window.at[pl.ds(phys, F), :],
-            out_hbm.at[pl.ds(b_rows, F), :],
+            window.at[pl.ds(pl.multiple_of(phys, F), F), :],
+            out_hbm.at[pl.ds(pl.multiple_of(b_rows, F), F), :],
             fsems.at[jax.lax.rem(b_rows // F, R)],
         )
 
