@@ -97,13 +97,13 @@ class CSR:
     key_canonical: object = None  # Optional[int32[E_pad]]
     # streaming segment-sum plan (ops/spmm_pallas._segment_sum_stream_kernel):
     # one edge-major pass over all chunks with a sliding VMEM out-window —
-    # ``stream_safe[c]`` is the F-aligned row below which no chunk > c
-    # writes (flushable after chunk c), ``stream_w`` the power-of-two window
-    # height the host simulation proved sufficient (0 = unsupported /
-    # window would exceed the VMEM cap). Computed on the ids layout this
-    # CSR streams: segment_ids for identity CSRs, key_canonical for banded
-    # transpose CSRs.
-    stream_safe: object = None  # Optional[int32[E_pad / 1024]]
+    # ``stream_safe[c]`` is the per-chunk scalar metadata row
+    # (flush_tgt, zero_tgt, off, span), ``stream_w`` the power-of-two
+    # window height the host simulation proved sufficient (0 =
+    # unsupported / window would exceed the VMEM cap). Computed on the
+    # ids layout this CSR streams: segment_ids for identity CSRs,
+    # key_canonical for banded transpose CSRs.
+    stream_safe: object = None  # Optional[int32[E_pad / 1024, 4]]
     stream_w: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
@@ -144,12 +144,15 @@ STREAM_W_CAP = 2048  # max sliding-window height ([W, 256] f32 = 2 MB VMEM)
 
 
 def _stream_plan(ids: np.ndarray, n_pad: int):
-    """Host plan for the streaming (edge-major) segment-sum: per-chunk
-    F-aligned flush targets plus the power-of-two window height a
-    simulation of the kernel's (zero-frontier, flush-base) dynamics proves
-    sufficient. Returns ``(None, 0)`` when the window would exceed
-    ``STREAM_W_CAP`` (wide bands / non-monotone ids) — callers fall back
-    to the block-major kernel."""
+    """Host plan for the streaming (edge-major) segment-sum: a per-chunk
+    int32[nchunks, 4] metadata table ``(flush_tgt, zero_tgt, off, span)``
+    plus the power-of-two window height a simulation of the kernel's
+    (zero-frontier, flush-base) dynamics proves sufficient. All four
+    scalars are static per graph, so the kernel reads them from SMEM
+    scalar-prefetch — no vector→scalar min/max round trip per chunk.
+    Returns ``(None, 0)`` when the window would exceed ``STREAM_W_CAP``
+    (wide bands / non-monotone ids) — callers fall back to the
+    block-major kernel."""
     e_pad = len(ids)
     ch, F = 1024, STREAM_FLUSH
     if e_pad % ch or n_pad % F or e_pad == 0:
@@ -165,22 +168,26 @@ def _stream_plan(ids: np.ndarray, n_pad: int):
     safe = np.empty(nchunks, np.int64)
     safe[:-1] = suf[1:]
     safe[-1] = big
-    safe_tgt = (np.minimum(safe, n_pad) // F) * F
+    flush_tgt = (np.minimum(safe, n_pad) // F) * F
+    # zero frontier target: running-max id_hi rounded up to F
+    run_hi = np.maximum.accumulate(hi)
+    zero_tgt = np.where(run_hi >= 0, ((run_hi + F) // F) * F, 0)
+    off = np.where(hi >= 0, lo & ~np.int64(7), 0)
+    span = np.where(hi >= 0, hi - off + 1, 0)
     zf = base = 0
     w_req = F
-    run_hi = -1
     for c in range(nchunks):
         if hi[c] >= 0:
-            run_hi = max(run_hi, int(hi[c]))
-            zf = max(zf, -(-(run_hi + 1) // F) * F)
+            zf = max(zf, int(zero_tgt[c]))
             w_req = max(w_req, zf - base)
-        base = max(base, min(int(safe_tgt[c]), zf))
+        base = max(base, min(int(flush_tgt[c]), zf))
     w = 256
     while w < w_req:
         w *= 2
     if w > STREAM_W_CAP:
         return None, 0
-    return safe_tgt.astype(np.int32), int(w)
+    meta = np.stack([flush_tgt, zero_tgt, off, span], axis=1)
+    return meta.astype(np.int32), int(w)
 
 
 def _csr_from_sorted(key_sorted: np.ndarray, n_pad: int, e_pad: int,

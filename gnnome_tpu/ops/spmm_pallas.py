@@ -449,7 +449,7 @@ STREAM_F = 128  # flush-block rows; NODE pads are multiples of 128
 
 
 def _segment_sum_stream_kernel(
-    safe_ref,  # SMEM int32[nchunks]: F-aligned flush target after chunk c
+    meta_ref,  # SMEM int32[nchunks, 4]: (flush_tgt, zero_tgt, off, span)
     data_hbm,  # ANY  [E, D]
     ids_hbm,  # ANY  int32[E // LANE, LANE]
     out_hbm,  # ANY  f32[N, D] — written by flush DMAs only
@@ -471,9 +471,12 @@ def _segment_sum_stream_kernel(
     single `slots`-deep DMA pipeline (the block-major kernel restarts its
     pipeline at every node block — at assembly-graph degree that is a
     latency-exposed ~4-chunk pipeline ~300 times per call). Works for
-    sorted ids AND banded-unsorted ids: the only precomputed metadata is
-    the per-chunk flush target (suffix-min of future chunk id minima,
-    core/graph._stream_plan), which also proves the window height W.
+    sorted ids AND banded-unsorted ids. All per-chunk control scalars
+    (flush target, zero-frontier target, window offset, id span) are
+    static per graph and precomputed by core/graph._stream_plan — the
+    kernel reads them from SMEM scalar-prefetch, so the inner loop has no
+    vector→scalar reduction round trip at all; the ids tile feeds only
+    the one-hot compares.
 
     Ring discipline (F-row flush blocks, R = W/F flush semaphores):
     logical row r lives at phys row r % W. Invariants, host-verified by
@@ -558,38 +561,35 @@ def _segment_sum_stream_kernel(
         data_dma(slot, c).wait()
         ids_dma(slot, c).wait()
 
-        idsv = ids_buf[slot]  # [SUBCHUNKS, LANE]
-        valid = idsv < num_segments
-        id_lo = jnp.min(jnp.where(valid, idsv, jnp.int32(2**30)))
-        id_hi = jnp.max(jnp.where(valid, idsv, -1))
+        off = meta_ref[c, 2]
+        span = meta_ref[c, 3]
 
         # 1) extend the zero frontier to cover this chunk's rows
-        new_zf = jnp.where(id_hi >= 0, ((id_hi + F) // F) * F, zf)
-        zf = jax.lax.fori_loop(0, (jnp.maximum(new_zf, zf) - zf) // F,
-                               zero_block, zf)
+        zf = jax.lax.fori_loop(
+            0, (jnp.maximum(meta_ref[c, 1], zf) - zf) // F, zero_block, zf)
 
         # 2) accumulate the chunk into the window
         if sub:
-            off = id_lo & ~7  # ≥ base (base is F-aligned ≤ id_lo)
             phys_off = pl.multiple_of(jax.lax.rem(off, w), 8)
-            narrow = jnp.logical_and(id_hi < off + sub, phys_off + sub <= w)
+            narrow = jnp.logical_and(span <= sub, phys_off + sub <= w)
 
-            @pl.when(jnp.logical_and(id_hi >= 0, narrow))
+            @pl.when(jnp.logical_and(span > 0, narrow))
             def _():
                 sub_ids = off + sub_iota
                 acc = accumulate(window[pl.ds(phys_off, sub), :],
                                  sub_ids, slot)
                 window[pl.ds(phys_off, sub), :] = acc
 
-            wide_pred = jnp.logical_and(id_hi >= 0, jnp.logical_not(narrow))
+            wide_pred = jnp.logical_and(span > 0, jnp.logical_not(narrow))
         else:
-            wide_pred = id_hi >= 0
+            wide_pred = span > 0
 
         @pl.when(wide_pred)
         def _():
             # modulo one-hot over the whole window; PAD/invalid ids are
             # redirected to w, which matches no physical row
-            phys_ids = jnp.where(valid, idsv & (w - 1), w)
+            idsv = ids_buf[slot]
+            phys_ids = jnp.where(idsv < num_segments, idsv & (w - 1), w)
             acc2 = jnp.zeros_like(window[...]) if split else None
             acc = window[...]
             for r in range(SUBCHUNKS):
@@ -603,7 +603,7 @@ def _segment_sum_stream_kernel(
             window[...] = acc + acc2 if split else acc
 
         # 3) flush rows no future chunk can touch
-        tgt = jnp.minimum(safe_ref[c], zf)
+        tgt = jnp.minimum(meta_ref[c, 0], zf)
         base = jax.lax.fori_loop(0, jnp.maximum(tgt - base, 0) // F,
                                  flush_block, base)
         return (base, zf)

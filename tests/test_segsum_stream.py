@@ -77,19 +77,28 @@ def test_stream_plan_invariants():
     g = _graph("chain", seed=5)
     e_pad = g.n_edges_padded
     ids = np.asarray(g.by_dst.segment_ids)
-    safe, w = _stream_plan(ids, g.n_nodes_padded)
+    meta, w = _stream_plan(ids, g.n_nodes_padded)
     assert w & (w - 1) == 0 and w >= 256
-    assert len(safe) == e_pad // 1024
-    # flush targets are F-aligned, monotone, and end at n_pad
-    assert (safe % 128 == 0).all()
-    assert (np.diff(safe) >= 0).all()
+    assert meta.shape == (e_pad // 1024, 4)
+    safe, zt, off, span = meta.T
+    # flush/zero targets are F-aligned, monotone; flush ends at n_pad
+    assert (safe % 128 == 0).all() and (zt % 128 == 0).all()
+    assert (np.diff(safe) >= 0).all() and (np.diff(zt) >= 0).all()
     assert safe[-1] == g.n_nodes_padded
-    # no chunk > c writes a row below safe[c]
     idm = ids.reshape(-1, 1024).astype(np.int64)
     valid = idm < g.n_nodes_padded
     lo = np.where(valid, idm, 2**40).min(axis=1)
+    hi = np.where(valid, idm, -1).max(axis=1)
+    # no chunk > c writes a row below safe[c]; zero target covers id_hi;
+    # (off, span) bound each chunk's ids
     for c in range(len(safe) - 1):
         assert lo[c + 1 :].min() >= safe[c]
+    real = hi >= 0
+    assert (zt[real] >= hi[real] + 1).all()
+    assert (off % 8 == 0).all()
+    assert (off[real] <= lo[real]).all()
+    assert (off[real] + span[real] == hi[real] + 1).all()
+    assert (span[~real] == 0).all()
     # random / non-monotone ids exceed the window cap -> unsupported
     rng = np.random.default_rng(0)
     rand_ids = rng.integers(0, 100_000, 64 * 1024).astype(np.int32)
