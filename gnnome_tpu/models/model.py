@@ -78,16 +78,16 @@ def _stack_layers(layers):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _resolve_store_tail(graph, d: int, itemsize: int, group: int,
-                        n_layers: int) -> int:
+def _resolve_store_tail(e_pad: int, n_pad: int, d: int, itemsize: int,
+                        group: int, n_layers: int) -> int:
     """How many trailing layers to leave uncheckpointed under
     ``remat='unroll_group'``.
 
     ``GNNOME_STORE_TAIL`` forces a count; default 'auto' picks the largest
     of {group, group//2, 0} whose estimated residual footprint fits
-    ``GNNOME_TAIL_BUDGET_GB`` (default 5.0). Per-layer estimate: the two
-    [E, D] edge tensors each layer keeps live for its backward (gate and
-    e_new) plus ~4 node-width tensors.
+    ``GNNOME_TAIL_BUDGET_GB``. Per-layer estimate: the two [E, D] edge
+    tensors each layer keeps live for its backward (gate and e_new) plus
+    ~4 node-width tensors.
     """
     import os
 
@@ -97,10 +97,7 @@ def _resolve_store_tail(graph, d: int, itemsize: int, group: int,
     # 7 GB lets the full remat group stay stored at the 1M-edge bench scale
     # (measured fit: 941.8 ms vs 974.1 at tail=2, v5e 15.75 GB HBM)
     budget = float(os.environ.get("GNNOME_TAIL_BUDGET_GB", "7.0")) * 1e9
-    per_layer = (
-        2.2 * graph.n_edges_padded * d * itemsize
-        + 4.0 * graph.n_nodes_padded * d * 4
-    )
+    per_layer = 2.2 * e_pad * d * itemsize + 4.0 * n_pad * d * 4
     for tail in (group, group // 2):
         if tail and tail * per_layer <= budget:
             return tail
@@ -175,7 +172,8 @@ def model_forward(
         # earlier group's replay runs) — saving `tail` forward replays
         # costs far less peak HBM than storing any other group would.
         tail = _resolve_store_tail(
-            graph, h.shape[-1], h.dtype.itemsize, g, n_layers)
+            graph.n_edges_padded, graph.n_nodes_padded, h.shape[-1],
+            h.dtype.itemsize, g, n_layers)
         cut = n_layers - tail
         ckpt_group = jax.checkpoint(group_fn)
         for i in range(0, cut, g):

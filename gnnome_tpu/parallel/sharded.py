@@ -136,7 +136,12 @@ class EdgeShard:
     # unsorted aggregation bounds, cf. core.graph canon_lo/hi)
     canon_lo: jax.Array  # int32 [B, P, N_local + P·H]
     canon_hi: jax.Array  # int32 [B, P, N_local + P·H]
+    # streaming segment-sum metadata over the local key layout
+    # (core/graph._stream_plan; key_stream_w = max required window across
+    # shards, 0 disables)
+    key_stream: jax.Array  # int32 [B, P, E_b / 1024, 4]
     key_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
+    key_stream_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_order_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_inv_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -293,6 +298,11 @@ def _build_edge_shard(
         "canon_lo": np.full((n_shards, n_comb), np.int32(2**30 - 1), np.int32),
         "canon_hi": np.full((n_shards, n_comb), -1, np.int32),
         "rev_banded": np.zeros(n_shards, bool),
+        # streaming segment-sum plan over the local key layout (identity
+        # CSR; core/graph._stream_plan) — per-shard int32[nchunks, 4]
+        # metadata + required window (0 = unsupported on that shard)
+        "key_stream": np.zeros((n_shards, e_bucket // 1024, 4), np.int32),
+        "key_stream_w": np.zeros(n_shards, np.int32),
     }
     for p in range(n_shards):
         lo, hi = int(bounds[p]), int(bounds[p + 1])
@@ -307,6 +317,12 @@ def _build_edge_shard(
         out["offsets"][p] = np.searchsorted(
             out["key_local"][p, :cnt], np.arange(n_local + 1)
         )
+        from gnnome_tpu.core.graph import _stream_plan
+
+        sm, sw = _stream_plan(out["key_local"][p].astype(np.int64), n_local)
+        if sm is not None:
+            out["key_stream"][p] = sm
+            out["key_stream_w"][p] = sw
 
         # per-edge combined-table reference: own block rows map directly,
         # remote rows map to their slot in the peer's halo segment
@@ -444,6 +460,10 @@ def prepare_batch(
     def stack_shard(dicts: List[Dict[str, np.ndarray]]) -> EdgeShard:
         d = {k: np.stack([dd[k] for dd in dicts]) for k in dicts[0]}
         rev_ok = bool(np.all(d.pop("rev_banded")))
+        ksw = d.pop("key_stream_w")
+        # one static window height for every rank: the max requirement, 0
+        # (disabled) unless every shard supports streaming
+        key_stream_w = int(ksw.max()) if bool((ksw > 0).all()) else 0
         # band plans over the stacked [B, P, E_b] ids (one static
         # (group, wr) per field across the whole batch — see EdgeShard)
         b, p_sh, e_b = d["key_local"].shape
@@ -470,7 +490,7 @@ def prepare_batch(
             ref_order_w0=rs4(ro_w0), ref_order_wr=ro_wr, ref_order_gr=ro_gr,
             ref_inv_w0=rs4(ri_w0), ref_inv_wr=ri_wr, ref_inv_gr=ri_gr,
             ref_expand_w0=rs4(re_w0), ref_expand_wr=re_wr, ref_expand_gr=re_gr,
-            rev_ok=rev_ok,
+            rev_ok=rev_ok, key_stream_w=key_stream_w,
         )
 
     batch = ShardedBatch(
@@ -640,7 +660,8 @@ def _key_gather(
     """Per-edge gather of the keyed (locally-owned) endpoint's row; VJP =
     the local identity-CSR segment-sum."""
     csr = _local_csr(shard["key_local"], shard["offsets"],
-                     shard.get("_key_plan"))
+                     shard.get("_key_plan"), shard.get("key_stream"),
+                     shard.get("_key_stream_w", 0))
     # padded edges carry PAD_SEGMENT — clamp the *gather* index to a real
     # row (their values are dropped by masks/segment-ids downstream); the
     # key plan is built over exactly this clamped array
@@ -649,18 +670,21 @@ def _key_gather(
     return gather_by_endpoint(values, safe, csr, values.shape[0], backend)
 
 
-def _local_csr(key_local: jax.Array, offsets: jax.Array, plan=None) -> CSR:
+def _local_csr(key_local: jax.Array, offsets: jax.Array, plan=None,
+               stream=None, stream_w: int = 0) -> CSR:
     """Local identity-order CSR for a shard's (sorted) edge slice.
 
     ``plan`` (over the clamped key array) serves as both the key plan
     (forward gathers + fused-op cotangent gathers) and the expand plan
     (the sorted segment-sum's VJP gather) — for an identity CSR the key
     array in canonical order IS the sorted segment-id array, exactly as in
-    ``core.graph.build_graph``."""
+    ``core.graph.build_graph``. ``stream``/``stream_w`` route this CSR's
+    segment-sums through the streaming kernel (EdgeShard.key_stream)."""
     e = key_local.shape[0]
     iota = jnp.arange(e, dtype=jnp.int32)
     return CSR(identity=True, order=iota, inv_order=iota, offsets=offsets,
-               segment_ids=key_local, expand_plan=plan, key_plan=plan)
+               segment_ids=key_local, expand_plan=plan, key_plan=plan,
+               stream_safe=stream, stream_w=stream_w)
 
 
 def _apply_bn(x, mean, var, scale, bias, eps=1e-5):
@@ -730,7 +754,8 @@ def _sharded_gated_gcn_layer(
     a3h = linear(lp["A3"], h_loc)
     a1 = linear(lp["A1"], h_loc)
 
-    csr_f = _local_csr(fwd["key_local"], fwd["offsets"], fwd.get("_key_plan"))
+    csr_f = _local_csr(fwd["key_local"], fwd["offsets"], fwd.get("_key_plan"),
+                       fwd.get("key_stream"), fwd.get("_key_stream_w", 0))
     rcsr = _ref_csr(fwd)
     n_comb = src_tab.shape[0]
     key_pad = fwd["key_local"]  # PAD_SEGMENT on padded edges
@@ -903,9 +928,21 @@ def sharded_forward(
             return h, e
 
         g = remat_group if n_layers % remat_group == 0 else 1
+        # store-tail (models/model.py): the last `tail` layers stay
+        # uncheckpointed — their backward runs first, so the stored
+        # residuals die before any group replay; saves `tail` forward
+        # replays per step at short-lived extra HBM
+        from gnnome_tpu.models.model import _resolve_store_tail
+
+        tail = _resolve_store_tail(
+            e.shape[0], h.shape[0], h.shape[-1], h.dtype.itemsize, g,
+            n_layers)
+        cut = n_layers - tail
         ckpt_group = jax.checkpoint(group_fn)
-        for i in range(0, n_layers, g):
-            h, e = ckpt_group(params["layers"][i : i + g], h, e)
+        for i in range(0, cut, g):
+            h, e = ckpt_group(params["layers"][i : min(i + g, cut)], h, e)
+        for lp in params["layers"][cut:]:
+            h, e = layer_fn(lp, (h, e))
     else:
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *params["layers"]
@@ -976,6 +1013,7 @@ def make_sharded_loss(
                     if wr > 0 else None
                 )
             d["_rev_ok"] = t.rev_ok
+            d["_key_stream_w"] = t.key_stream_w
             return d
 
         fwd = shard_dict(fwd_t)
