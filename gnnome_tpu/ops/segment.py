@@ -944,7 +944,37 @@ def _gate_front_bwd(n_pad, n_edges, backend, res, cot):
     # combined [N_local + P·H] own‖halo table and the keyed one from the
     # [N_local] block (parallel/sharded.py)
     n_src, n_dst = n_pad if isinstance(n_pad, tuple) else (n_pad, n_pad)
-    mask = (jnp.arange(gate.shape[0]) < n_edges)[:, None]
+    bk = backend or default_backend()
+    e_pad = gate.shape[0]
+    if (bk in ("pallas", "pallas_interpret")
+            and getattr(by_dst, "identity", False)
+            and getattr(by_src, "key_canonical", None) is not None):
+        from gnnome_tpu.ops.spmm_pallas import (
+            gate_front_bwd_stream_pallas,
+            stream_supported,
+        )
+
+        if (stream_supported(n_dst, e_pad, getattr(by_dst, "stream_w", 0))
+                and stream_supported(n_src, e_pad,
+                                     getattr(by_src, "stream_w", 0))):
+            # dual-key streaming backward: d_total built in-register from
+            # the d_gate/gate streams, accumulated into BOTH endpoint
+            # tables, staged out once for the B3 matmuls — replaces an
+            # elementwise pass + two segment-sum launches
+            d_b2h, d_b1h, d_total, d_bias32 = gate_front_bwd_stream_pallas(
+                d_gate, gate, d_mom.astype(jnp.float32),
+                by_dst.segment_ids, by_src.key_canonical,
+                by_dst.stream_safe, by_src.stream_safe,
+                by_dst.stream_w, by_src.stream_w,
+                n_dst, n_src, n_edges, e.dtype,
+                interpret=(bk == "pallas_interpret"),
+            )
+            d_e = jnp.dot(d_total, w3.T, preferred_element_type=e.dtype)
+            d_w3 = jnp.dot(e.T, d_total,
+                           preferred_element_type=jnp.float32).astype(w3.dtype)
+            return (d_b1h.astype(p1.dtype), d_b2h.astype(p2.dtype), d_e,
+                    d_w3, d_bias32.astype(p3.dtype), None, None, None)
+    mask = (jnp.arange(e_pad) < n_edges)[:, None]
     # moments chain: d(Σg)/dg = 1, d(Σg²)/dg = 2g — on real edges only
     d_total32 = d_gate.astype(jnp.float32) + jnp.where(
         mask, d_mom[0] + 2.0 * gate.astype(jnp.float32) * d_mom[1], 0.0

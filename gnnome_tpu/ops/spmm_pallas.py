@@ -684,6 +684,359 @@ def stream_supported(num_segments: int, e_pad: int, stream_w: int) -> bool:
     )
 
 
+def _gate_front_bwd_stream_kernel(
+    meta_d_ref,  # SMEM int32[nchunks, 4] dst-layout stream metadata
+    meta_s_ref,  # SMEM int32[nchunks, 4] src-layout stream metadata
+    dmom_ref,  # VMEM f32[2, D]: cotangents of [Σg, Σg²]
+    dgate_hbm,  # ANY [E, D] gate cotangent, canonical order
+    gate_hbm,  # ANY [E, D] saved gate primal, canonical order
+    idsd_hbm,  # ANY int32[E // LANE, LANE] dst ids (sorted canonical)
+    idss_hbm,  # ANY int32[E // LANE, LANE] src ids (banded canonical)
+    outd_hbm,  # ANY f32[Nd, D] — d_b2h (flush DMAs only)
+    outs_hbm,  # ANY f32[Ns, D] — d_b1h (flush DMAs only)
+    dtot_hbm,  # ANY [E, D] — d_total, edge dtype (staged write-back)
+    dbias_ref,  # VMEM f32[8, D] block: row 0 = Σ d_total32
+    win_d,  # VMEM f32[Wd, D]
+    win_s,  # VMEM f32[Ws, D]
+    dg_buf,  # VMEM [slots, CHUNK, D]
+    g_buf,  # VMEM [slots, CHUNK, D]
+    idsd_buf,  # VMEM int32[slots, SUBCHUNKS, LANE]
+    idss_buf,  # VMEM int32[slots, SUBCHUNKS, LANE]
+    dt_buf,  # VMEM [slots, CHUNK, D] staging for the d_total write-back
+    sems,  # DMA sems [slots, 4]
+    out_sem,  # DMA sems [slots] (d_total write)
+    fsems_d,  # DMA sems [Rd]
+    fsems_s,  # DMA sems [Rs]
+    *,
+    nchunks: int,
+    n_dst: int,
+    n_src: int,
+    n_edges: int,
+    wd: int,
+    ws: int,
+    sub_d: int,
+    sub_s: int,
+    slots: int,
+    out_dim: int,
+):
+    """Fused gate-front backward: ONE streaming pass computes
+    ``d_total = d_gate + mask·(dΣg + 2·gate·dΣg²)`` in-register from the
+    two input streams, accumulates it into BOTH endpoint tables (d_b2h
+    keyed by the sorted dst ids, d_b1h by the banded-unsorted src ids —
+    each with its own sliding window + flush ring, the
+    ``_segment_sum_stream_kernel`` discipline), stages d_total back to HBM
+    for the B3 matmul grads, and accumulates d_bias3 in f32. Replaces an
+    XLA elementwise pass + two separate segment-sum launches: d_total is
+    read zero extra times instead of three.
+    """
+    F = STREAM_F
+    dm0 = dmom_ref[0:1, :]
+    dm1 = dmom_ref[1:2, :]
+
+    def in_dmas(slot, c):
+        return (
+            pltpu.make_async_copy(
+                dgate_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                dg_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                gate_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+                g_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                idsd_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                idsd_buf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                idss_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
+                idss_buf.at[slot], sems.at[slot, 3]),
+        )
+
+    def dt_dma(slot, c):
+        return pltpu.make_async_copy(
+            dt_buf.at[slot],
+            dtot_hbm.at[pl.ds(c * CHUNK_EDGES, CHUNK_EDGES), :],
+            out_sem.at[slot],
+        )
+
+    def make_ring(window, out_hbm, fsems, w):
+        r_ring = w // F
+
+        def flush_copy(b_rows, phys):
+            return pltpu.make_async_copy(
+                window.at[pl.ds(pl.multiple_of(phys, F), F), :],
+                out_hbm.at[pl.ds(pl.multiple_of(b_rows, F), F), :],
+                fsems.at[jax.lax.rem(b_rows // F, r_ring)],
+            )
+
+        def zero_block(_, zf):
+            b = zf // F
+            phys = pl.multiple_of(jax.lax.rem(zf, w), F)
+
+            @pl.when(b >= r_ring)
+            def _():
+                flush_copy((b - r_ring) * F, phys).wait()
+
+            window[pl.ds(phys, F), :] = jnp.zeros((F, out_dim), jnp.float32)
+            return zf + F
+
+        def flush_block(_, base):
+            phys = pl.multiple_of(jax.lax.rem(base, w), F)
+            flush_copy(base, phys).start()
+            return base + F
+
+        return flush_copy, zero_block, flush_block
+
+    fc_d, zb_d, fb_d = make_ring(win_d, outd_hbm, fsems_d, wd)
+    fc_s, zb_s, fb_s = make_ring(win_s, outs_hbm, fsems_s, ws)
+
+    for k in range(slots - 1):
+        @pl.when(k < nchunks)
+        def _(k=k):
+            for dma in in_dmas(k, k):
+                dma.start()
+
+    subd_iota = (jax.lax.broadcasted_iota(jnp.int32, (sub_d, 1), 0)
+                 if sub_d else None)
+    subs_iota = (jax.lax.broadcasted_iota(jnp.int32, (sub_s, 1), 0)
+                 if sub_s else None)
+    wd_iota = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0)
+    ws_iota = jax.lax.broadcasted_iota(jnp.int32, (ws, 1), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+
+    dbias_ref[...] = jnp.zeros((8, out_dim), jnp.float32)
+
+    def body(c, carry):
+        base_d, zf_d, base_s, zf_s = carry
+        slot = jax.lax.rem(c, slots)
+
+        @pl.when(c + slots - 1 < nchunks)
+        def _():
+            nxt = jax.lax.rem(c + slots - 1, slots)
+            for dma in in_dmas(nxt, c + slots - 1):
+                dma.start()
+
+        for dma in in_dmas(slot, c):
+            dma.wait()
+
+        @pl.when(c >= slots)
+        def _():
+            dt_dma(slot, c - slots).wait()
+
+        # extend both zero frontiers
+        zf_d = jax.lax.fori_loop(
+            0, (jnp.maximum(meta_d_ref[c, 1], zf_d) - zf_d) // F, zb_d, zf_d)
+        zf_s = jax.lax.fori_loop(
+            0, (jnp.maximum(meta_s_ref[c, 1], zf_s) - zf_s) // F, zb_s, zf_s)
+
+        # d_total epilog + dual accumulate, one subrow at a time
+        def subrow_dt(r):
+            sl = slice(r * LANE, (r + 1) * LANE)
+            dg = dg_buf[slot, sl, :].astype(jnp.float32)
+            g = g_buf[slot, sl, :].astype(jnp.float32)
+            mask = (c * CHUNK_EDGES + r * LANE + lane_iota) < n_edges
+            dt32 = dg + jnp.where(mask, dm0 + 2.0 * g * dm1, 0.0)
+            return dt32
+
+        off_d = meta_d_ref[c, 2]
+        span_d = meta_d_ref[c, 3]
+        off_s = meta_s_ref[c, 2]
+        span_s = meta_s_ref[c, 3]
+
+        phys_d = pl.multiple_of(jax.lax.rem(off_d, wd), 8)
+        phys_s = pl.multiple_of(jax.lax.rem(off_s, ws), 8)
+        narrow_d = jnp.logical_and(
+            span_d > 0, jnp.logical_and(span_d <= sub_d,
+                                        phys_d + sub_d <= wd)) \
+            if sub_d else jnp.bool_(False)
+        narrow_s = jnp.logical_and(
+            span_s > 0, jnp.logical_and(span_s <= sub_s,
+                                        phys_s + sub_s <= ws)) \
+            if sub_s else jnp.bool_(False)
+
+        def tile(r):
+            return dt_buf[slot, r * LANE : (r + 1) * LANE, :]
+
+        def accumulate(acc, row_ids, ids_buf_):
+            for r in range(SUBCHUNKS):
+                ids_row = ids_buf_[slot, r : r + 1, :]
+                onehot = (ids_row == row_ids).astype(jnp.bfloat16)
+                acc = _acc_matmul(acc, onehot, tile(r))
+            return acc
+
+        # compute all 8 subrow d_totals once; stage d_total; dbias
+        dbias = dbias_ref[0:1, :]
+        for r in range(SUBCHUNKS):
+            dt32 = subrow_dt(r)
+            dbias = dbias + jnp.sum(dt32, axis=0, keepdims=True)
+            dt_buf[slot, r * LANE : (r + 1) * LANE, :] = dt32.astype(
+                dt_buf.dtype)
+        dbias_ref[0:1, :] = dbias
+        dt_dma(slot, c).start()
+
+        # dst accumulate (sorted ids)
+        if sub_d:
+            @pl.when(narrow_d)
+            def _():
+                acc = accumulate(win_d[pl.ds(phys_d, sub_d), :],
+                                 off_d + subd_iota, idsd_buf)
+                win_d[pl.ds(phys_d, sub_d), :] = acc
+
+            wide_d = jnp.logical_and(span_d > 0, jnp.logical_not(narrow_d))
+        else:
+            wide_d = span_d > 0
+
+        @pl.when(wide_d)
+        def _():
+            idsv = idsd_buf[slot]
+            phys_ids = jnp.where(idsv < n_dst, idsv & (wd - 1), wd)
+            acc = win_d[...]
+            for r in range(SUBCHUNKS):
+                onehot = (phys_ids[r : r + 1, :] == wd_iota).astype(jnp.bfloat16)
+                acc = _acc_matmul(acc, onehot, tile(r))
+            win_d[...] = acc
+
+        # src accumulate (banded-unsorted ids)
+        if sub_s:
+            @pl.when(narrow_s)
+            def _():
+                acc = accumulate(win_s[pl.ds(phys_s, sub_s), :],
+                                 off_s + subs_iota, idss_buf)
+                win_s[pl.ds(phys_s, sub_s), :] = acc
+
+            wide_s = jnp.logical_and(span_s > 0, jnp.logical_not(narrow_s))
+        else:
+            wide_s = span_s > 0
+
+        @pl.when(wide_s)
+        def _():
+            idsv = idss_buf[slot]
+            phys_ids = jnp.where(idsv < n_src, idsv & (ws - 1), ws)
+            acc = win_s[...]
+            for r in range(SUBCHUNKS):
+                onehot = (phys_ids[r : r + 1, :] == ws_iota).astype(jnp.bfloat16)
+                acc = _acc_matmul(acc, onehot, tile(r))
+            win_s[...] = acc
+
+        # flush both rings
+        tgt_d = jnp.minimum(meta_d_ref[c, 0], zf_d)
+        base_d = jax.lax.fori_loop(
+            0, jnp.maximum(tgt_d - base_d, 0) // F, fb_d, base_d)
+        tgt_s = jnp.minimum(meta_s_ref[c, 0], zf_s)
+        base_s = jax.lax.fori_loop(
+            0, jnp.maximum(tgt_s - base_s, 0) // F, fb_s, base_s)
+        return (base_d, zf_d, base_s, zf_s)
+
+    base_d, zf_d, base_s, zf_s = jax.lax.fori_loop(
+        0, nchunks, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+    # epilogues: flush accumulated, zero+flush trailing, per ring
+    def tail(zb, fb, base, zf, n_rows):
+        base = jax.lax.fori_loop(0, (zf - base) // F, fb, base)
+
+        def tb(_, carry):
+            base, zf = carry
+            zf = zb(0, zf)
+            base = fb(0, base)
+            return (base, zf)
+
+        return jax.lax.fori_loop(0, (n_rows - zf) // F, tb, (base, zf))
+
+    tail(zb_d, fb_d, base_d, zf_d, n_dst)
+    tail(zb_s, fb_s, base_s, zf_s, n_src)
+
+    for n_rows, w, fc in ((n_dst, wd, fc_d), (n_src, ws, fc_s)):
+        b_total = n_rows // F
+        for k in range(min(w // F, b_total)):
+            b = b_total - 1 - k
+            fc(b * F, (b * F) % w).wait()
+
+    # drain outstanding d_total writes
+    for k in range(1, slots + 1):
+        @pl.when(nchunks >= k)
+        def _(k=k):
+            dt_dma(jax.lax.rem(nchunks - k, slots), nchunks - k).wait()
+
+
+def gate_front_bwd_stream_pallas(
+    d_gate: jax.Array,  # [E, D] canonical order
+    gate: jax.Array,  # [E, D] canonical order (saved primal)
+    d_mom: jax.Array,  # f32[2, D]
+    ids_dst: jax.Array,  # int32[E] sorted canonical dst ids (PAD pads)
+    ids_src: jax.Array,  # int32[E] banded canonical src ids (PAD pads)
+    meta_dst: jax.Array,  # int32[nchunks, 4]
+    meta_src: jax.Array,  # int32[nchunks, 4]
+    w_dst: int,
+    w_src: int,
+    n_dst: int,
+    n_src: int,
+    n_edges: int,
+    out_dtype,
+    interpret: bool = False,
+):
+    """(d_b2h f32[n_dst, D], d_b1h f32[n_src, D], d_total [E, D],
+    d_bias3 f32[D]) in one streaming pass. See the kernel docstring."""
+    e_pad, d = d_gate.shape
+    nchunks = e_pad // CHUNK_EDGES
+    slots = max(int(os.environ.get("GNNOME_SEGSUM_SLOTS", "4")), 2)
+    sub_d = _env_sub("GNNOME_SEGSUM_SUB", _policy_sub(n_dst, e_pad, w_dst))
+    sub_d = sub_d if sub_d and sub_d < w_dst else 0
+    sub_s = _env_sub("GNNOME_SEGSUM_SUB", _policy_sub(n_src, e_pad, w_src))
+    sub_s = sub_s if sub_s and sub_s < w_src else 0
+    kernel = functools.partial(
+        _gate_front_bwd_stream_kernel, nchunks=nchunks, n_dst=n_dst,
+        n_src=n_src, n_edges=n_edges, wd=w_dst, ws=w_src, sub_d=sub_d,
+        sub_s=sub_s, slots=slots, out_dim=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((2, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((w_dst, d), jnp.float32),
+            pltpu.VMEM((w_src, d), jnp.float32),
+            pltpu.VMEM((slots, CHUNK_EDGES, d), d_gate.dtype),
+            pltpu.VMEM((slots, CHUNK_EDGES, d), gate.dtype),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((slots, SUBCHUNKS, LANE), jnp.int32),
+            pltpu.VMEM((slots, CHUNK_EDGES, d), out_dtype),
+            pltpu.SemaphoreType.DMA((slots, 4)),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((w_dst // STREAM_F,)),
+            pltpu.SemaphoreType.DMA((w_src // STREAM_F,)),
+        ],
+    )
+    outd, outs, dtot, dbias = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_dst, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_src, d), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, d), out_dtype),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_pad * ((sub_d or w_dst) + (sub_s or w_src)) * d,
+            bytes_accessed=3 * e_pad * d * d_gate.dtype.itemsize
+            + 2 * e_pad * 4 + (n_dst + n_src) * d * 4,
+            transcendentals=0,
+        ),
+    )(meta_dst, meta_src, d_mom, d_gate, gate,
+      ids_dst.reshape(e_pad // LANE, LANE),
+      ids_src.reshape(e_pad // LANE, LANE))
+    return outd, outs, dtot, dbias[0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
 def sorted_segment_sum_pallas(
     data_sorted: jax.Array,

@@ -106,6 +106,50 @@ def test_stream_plan_invariants():
     assert w_r == 0 and safe_r is None
 
 
+def test_gate_front_bwd_dual_stream():
+    """The dual-key streaming gate-front backward (one pass: d_total
+    in-register, both endpoint tables, staged d_total, f32 d_bias3) is
+    bit-identical to the composed fallback on every endpoint/edge grad,
+    and at xla-tolerance on d_bias3 (different f32 summation order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnnome_tpu.ops.segment import fused_gate_front
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 300, 3000).astype(np.int32)
+    d_ = np.minimum(src + rng.integers(1, 9, 3000), 299).astype(np.int32)
+    keep = src != d_
+    g = build_graph(src[keep], d_[keep], 300)
+    assert g.by_dst.stream_w > 0 and g.by_src.stream_w > 0
+    E, D = g.n_edges_padded, 128
+    e = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32))
+    b1h = jnp.asarray(
+        rng.standard_normal((g.n_nodes_padded, D)).astype(np.float32))
+    b2h = jnp.asarray(
+        rng.standard_normal((g.n_nodes_padded, D)).astype(np.float32))
+    w3 = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.1)
+    b3 = jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1)
+
+    def loss(b1h, b2h, e, w3, b3, backend):
+        gate, mom = fused_gate_front(
+            b1h, b2h, e, w3, b3, g.src, g.dst, (g.by_src, g.by_dst),
+            g.n_nodes_padded, g.n_edges, backend)
+        return (jnp.sum(jnp.sin(gate.astype(jnp.float32)))
+                + jnp.sum(mom * jnp.arange(2)[:, None]))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    g_stream = grads(b1h, b2h, e, w3, b3, "pallas_interpret")
+    os.environ["GNNOME_SEGSUM_STREAM"] = "0"
+    try:
+        g_fb = grads(b1h, b2h, e, w3, b3, "pallas_interpret")
+    finally:
+        del os.environ["GNNOME_SEGSUM_STREAM"]
+    for i, (a, b) in enumerate(zip(g_stream, g_fb)):
+        atol = 1e-3 if i == 4 else 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
 def test_stream_window_wrap_exact():
     """A graph long enough that the 256-row minimum window wraps dozens of
     times, with f32 data — exact per-row check vs numpy."""
