@@ -140,8 +140,14 @@ class EdgeShard:
     # (core/graph._stream_plan; key_stream_w = max required window across
     # shards, 0 disables)
     key_stream: jax.Array  # int32 [B, P, E_b / 1024, 4]
+    # PAD-marked ref ids (shard-canonical order) + their streaming plan —
+    # the combined-table transpose reductions and the dual-key streaming
+    # gate-front backward
+    ref_canonical: jax.Array  # int32 [B, P, E_b]
+    ref_stream: jax.Array  # int32 [B, P, E_b / 1024, 4]
     key_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     key_stream_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ref_stream_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_order_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
     ref_inv_wr: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -303,6 +309,13 @@ def _build_edge_shard(
         # metadata + required window (0 = unsupported on that shard)
         "key_stream": np.zeros((n_shards, e_bucket // 1024, 4), np.int32),
         "key_stream_w": np.zeros(n_shards, np.int32),
+        # PAD-marked combined-table ref ids in shard-canonical order + the
+        # streaming plan over them: lights up the permutation-free
+        # streaming transpose reduction AND the dual-key streaming
+        # gate-front backward for the sharded layer
+        "ref_canonical": np.full((n_shards, e_bucket), PAD_SEGMENT, np.int32),
+        "ref_stream": np.zeros((n_shards, e_bucket // 1024, 4), np.int32),
+        "ref_stream_w": np.zeros(n_shards, np.int32),
     }
     for p in range(n_shards):
         lo, hi = int(bounds[p]), int(bounds[p + 1])
@@ -340,6 +353,11 @@ def _build_edge_shard(
         out["ref"][p, :cnt] = ref
         ref_keys = np.full(e_bucket, PAD_SEGMENT, np.int64)
         ref_keys[:cnt] = ref
+        out["ref_canonical"][p] = ref_keys
+        rsm, rsw = _stream_plan(ref_keys, n_comb)
+        if rsm is not None:
+            out["ref_stream"][p] = rsm
+            out["ref_stream_w"][p] = rsw
         csr = _sorted_csr_arrays(ref_keys, n_comb)
         out["ref_order"][p] = csr["order"]
         out["ref_inv_order"][p] = csr["inv_order"]
@@ -464,6 +482,8 @@ def prepare_batch(
         # one static window height for every rank: the max requirement, 0
         # (disabled) unless every shard supports streaming
         key_stream_w = int(ksw.max()) if bool((ksw > 0).all()) else 0
+        rsw = d.pop("ref_stream_w")
+        ref_stream_w = int(rsw.max()) if bool((rsw > 0).all()) else 0
         # band plans over the stacked [B, P, E_b] ids (one static
         # (group, wr) per field across the whole batch — see EdgeShard)
         b, p_sh, e_b = d["key_local"].shape
@@ -491,6 +511,7 @@ def prepare_batch(
             ref_inv_w0=rs4(ri_w0), ref_inv_wr=ri_wr, ref_inv_gr=ri_gr,
             ref_expand_w0=rs4(re_w0), ref_expand_wr=re_wr, ref_expand_gr=re_gr,
             rev_ok=rev_ok, key_stream_w=key_stream_w,
+            ref_stream_w=ref_stream_w,
         )
 
     batch = ShardedBatch(
@@ -638,6 +659,16 @@ def _ref_csr(shard: Dict[str, jax.Array]) -> CSR:
         order_plan=shard.get("_ref_order_plan"),
         inv_plan=shard.get("_ref_inv_plan"),
         expand_plan=shard.get("_ref_expand_plan"),
+        # canonical-order key ids + bands + streaming plan: every
+        # transpose reduction over this CSR takes the permutation-free
+        # (streaming when supported) path, and the dual-key streaming
+        # gate-front backward can key its src window on ref ids
+        key_canonical=shard.get("ref_canonical"),
+        canon_lo=shard.get("canon_lo"),
+        canon_hi=shard.get("canon_hi"),
+        canon_banded=bool(shard.get("_rev_ok", False)),
+        stream_safe=shard.get("ref_stream"),
+        stream_w=shard.get("_ref_stream_w", 0),
     )
 
 
@@ -1014,6 +1045,7 @@ def make_sharded_loss(
                 )
             d["_rev_ok"] = t.rev_ok
             d["_key_stream_w"] = t.key_stream_w
+            d["_ref_stream_w"] = t.ref_stream_w
             return d
 
         fwd = shard_dict(fwd_t)
