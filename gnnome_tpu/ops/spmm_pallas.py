@@ -58,8 +58,12 @@ def _pick_block_nodes(num_segments: int, prefer: int) -> int:
     caps ``prefer`` for A/B sweeps (microbench_passes.py)."""
     cap = os.environ.get("GNNOME_BLOCK_NODES")
     if cap:
-        prefer = min(prefer, int(cap))
-    for bn in (512, 256, 128):
+        # explicit override (raise OR lower): block-major pipelines restart
+        # per node block, so larger blocks amortize the restart — with the
+        # subtile accumulate the per-chunk math cost no longer grows with
+        # the block (sweepable up to 1024)
+        prefer = int(cap)
+    for bn in (1024, 512, 256, 128):
         if bn <= prefer and num_segments % bn == 0:
             return bn
     return BLOCK_NODES
