@@ -84,22 +84,22 @@ def _resolve_store_tail(e_pad: int, n_pad: int, d: int, itemsize: int,
     ``remat='unroll_group'``.
 
     ``GNNOME_STORE_TAIL`` forces a count; default 'auto' picks the largest
-    of {group, group//2, 0} whose estimated residual footprint fits
-    ``GNNOME_TAIL_BUDGET_GB``. Per-layer estimate: the two [E, D] edge
-    tensors each layer keeps live for its backward (gate and e_new) plus
-    ~4 node-width tensors.
+    tail ≤ 2·group whose estimated residual footprint fits
+    ``GNNOME_TAIL_BUDGET_GB``. Per-layer estimate calibrated against the
+    v5e tail sweep at 1M edges (tail=6 fits 15.75 GB HBM alongside the
+    step's ~6 GB working set; `runs/bench_tail*.log` — each stored layer
+    saves ~15 ms of forward replay): the dominant residuals are the two
+    [E, D] edge tensors (gate, e_new) plus a few node-width tensors.
     """
     import os
 
     env = os.environ.get("GNNOME_STORE_TAIL", "auto")
     if env != "auto":
         return max(0, min(int(env), n_layers))
-    # 7 GB lets the full remat group stay stored at the 1M-edge bench scale
-    # (measured fit: 941.8 ms vs 974.1 at tail=2, v5e 15.75 GB HBM)
     budget = float(os.environ.get("GNNOME_TAIL_BUDGET_GB", "7.0")) * 1e9
-    per_layer = 2.2 * e_pad * d * itemsize + 4.0 * n_pad * d * 4
-    for tail in (group, group // 2):
-        if tail and tail * per_layer <= budget:
+    per_layer = 1.6 * e_pad * d * itemsize + 2.0 * n_pad * d * 4
+    for tail in range(min(2 * group, n_layers), 0, -1):
+        if tail * per_layer <= budget:
             return tail
     return 0
 
