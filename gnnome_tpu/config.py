@@ -67,13 +67,15 @@ class DecodeConfig:
     # hyperparameters.py:19-20
     num_decoding_paths: int = 50
     len_threshold: int = 20
-    # Confidence floor for extending a walk: stop when the next edge's
-    # sigmoid probability falls below this. 0.0 = reference semantics
-    # (inference.py:31-77 extends while ANY unvisited successor exists).
-    # The hard-benchmark post-mortem (docs/FLAGSHIP.md) found 11/17
-    # misassembly breaks were walked at prob<=0.5 — this is the decoder
-    # lever that trades contig length for fewer misassemblies. Applies to
-    # the GNN-scored decode only (baselines walk raw overlap metrics).
+    # Confidence floor on walked edges: seeds are sampled only among
+    # edges at or above it, and walks stop when the next edge's sigmoid
+    # probability falls below it. 0.0 = reference semantics
+    # (inference.py:31-77 extends while ANY unvisited successor exists,
+    # seeds ∝ prob over all alive edges). The hard-benchmark post-mortem
+    # (docs/FLAGSHIP.md) found 11/17 misassembly breaks were walked at
+    # prob<=0.5 — this is the decoder lever that trades contig length
+    # for fewer misassemblies. Applies to the GNN-scored decode only
+    # (baselines walk raw overlap metrics).
     min_prob: float = 0.0
 
 

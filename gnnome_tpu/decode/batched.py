@@ -148,6 +148,11 @@ def get_contigs_batched(
     while True:
         keep = vg_np == 0
         edge_alive = not_self & keep[src] & keep[dst]
+        if min_score > -inf:
+            # the confidence floor also gates SEED edges: a sub-floor seed
+            # would otherwise enter the walk unchecked (the seed edge is
+            # the one edge the walkers never score-test)
+            edge_alive &= scores >= min_score
         alive_ids = np.nonzero(edge_alive)[0]
         if len(alive_ids) == 0:
             break

@@ -197,6 +197,9 @@ def get_contigs(
             edge_alive = not_self & keep_node[src] & keep_node[dst]
         else:
             edge_alive = not_self
+        if min_score > float("-inf"):
+            # the floor also gates seed edges (see batched.py)
+            edge_alive = edge_alive & (scores >= min_score)
         alive_ids = np.nonzero(edge_alive)[0]
         if len(alive_ids) == 0:
             break

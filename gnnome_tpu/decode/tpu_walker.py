@@ -160,6 +160,9 @@ def get_contigs_tpu(
     while True:
         keep = visited_global == 0
         edge_alive = not_self & keep[src] & keep[dst]
+        if np.isfinite(min_score):
+            # the floor also gates seed edges (see batched.py)
+            edge_alive = edge_alive & (scores >= min_score)
         alive_ids = np.nonzero(edge_alive)[0]
         if len(alive_ids) == 0:
             break

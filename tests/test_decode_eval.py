@@ -166,13 +166,13 @@ def test_min_prob_floor(ds_root):
             engine="sequential", **kwargs,
         )
         assert w_bat == w_seq
-        # every non-seed extension respects the floor: each walk contains
-        # at most ONE sub-floor edge (the sampled seed edge itself)
+        # EVERY walked edge respects the floor — seed edges included (the
+        # floor also gates the seed sampling set)
         for walk in w_bat:
             below = sum(
                 prob[edges[(a, b)]] < t for a, b in zip(walk[:-1], walk[1:])
             )
-            assert below <= 1, (t, below)
+            assert below == 0, (t, below)
     # floor off reproduces the reference walks exactly
     base2 = greedy.get_contigs(
         sample.src, sample.dst, scores, succs, preds, edges,
