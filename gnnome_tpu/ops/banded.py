@@ -243,7 +243,7 @@ def _select_matmul(onehot, window):
     rem = window - hi.astype(jnp.float32)
     mid = rem.astype(jnp.bfloat16)
     lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.zeros((LANE, window.shape[-1]), jnp.float32)
+    acc = jnp.zeros((onehot.shape[1], window.shape[-1]), jnp.float32)
     for part in (hi, mid, lo):
         acc = acc + jax.lax.dot_general(
             onehot, part, dims, preferred_element_type=jnp.float32

@@ -2153,6 +2153,7 @@ def _fused_sigma_unsorted_kernel(
     sub: int = 0,
     slots: int = 2,
     split: bool = False,
+    batch: int = 1,
 ):
     """Reverse-direction gated aggregation WITHOUT the src sort: the one-hot
     segment-sum does not require sorted keys — only the per-block chunk
@@ -2173,9 +2174,18 @@ def _fused_sigma_unsorted_kernel(
     ``_segment_sum_sub_kernel``; on banded graphs canonical-order src ids
     are near-sorted so most chunks fit). Chunks with no in-block ids —
     the duplicated-footprint boundary chunks of the unsorted grid — skip
-    the math entirely."""
+    the math entirely.
+
+    ``batch > 1`` (GNNOME_SIGMA_BATCH; must divide the plan ``group``):
+    lane-concatenated [1, batch·128] ids rows turn the ``batch`` narrow
+    select/accumulate matmuls into one wide issue each (same lever as
+    ``_fused_gate_gather_kernel``)."""
     from gnnome_tpu.ops.banded import _select_matmul
 
+    assert group % batch == 0, (group, batch)
+    nb = SUBCHUNKS // batch
+    bl = batch * LANE
+    gpb = group // batch
     i = pl.program_id(0)
     lo = chunk_lo_ref[i]
     hi = chunk_hi_ref[i]
@@ -2225,31 +2235,39 @@ def _fused_sigma_unsorted_kernel(
     if sub:
         out_ref[...] = jnp.zeros((block_nodes, 2 * feat_dim), jnp.float32)
 
+    def wide_row(buf, slot, r):
+        """[1, bl] ids row: ``batch`` [1, LANE] subrow tiles lane-concat'd
+        (layout op only; a <8-row DMA of a reshaped HBM view would break
+        the (8, 128) tiling)."""
+        parts = [buf[slot, r * batch + j : r * batch + j + 1, :]
+                 for j in range(batch)]
+        return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
+
     def subrow_sums(slot, c, r):
-        """(σ·v, σ) tiles of subrow ``r`` (the value-window select + the
-        sigmoid), shared by the subtile and full-block accumulates."""
-        gr = r // group
-        vids_row = vids_buf[slot, r : r + 1, :]
-        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        """(σ·v, σ) tiles of batched row ``r`` (the value-window select +
+        the sigmoid), shared by the subtile and full-block accumulates."""
+        gr = r // gpb
+        vids_row = wide_row(vids_buf, slot, r)
+        v_rows = jnp.zeros((bl, feat_dim), jnp.float32)
         for wi in range(2):
             base = w0_ref[2 * (c * gpc + gr) + wi]
             sel = (row_iota + base == vids_row)
             v_rows = v_rows + _select_matmul(
                 sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
-        e_tile = e_buf[slot, r * LANE : (r + 1) * LANE, :]
+        e_tile = e_buf[slot, r * bl : (r + 1) * bl, :]
         sig = jax.nn.sigmoid(e_tile.astype(jnp.float32))
         vdt = win_buf.dtype
         return (sig * v_rows).astype(vdt), sig.astype(vdt)
 
     def chunk_accumulate(slot, c, row_ids, a1, a2):
-        """8 subrows of this chunk accumulated into register values a1/a2
-        (``split`` interleaves two dot chains, merged at the end)."""
+        """nb batched rows of this chunk accumulated into register values
+        a1/a2 (``split`` interleaves two dot chains, merged at the end)."""
         b1 = jnp.zeros_like(a1) if split else None
         b2 = jnp.zeros_like(a2) if split else None
-        for r in range(SUBCHUNKS):
+        for r in range(nb):
             # UNSORTED one-hot: src ids of this canonical subrow match
             # whichever of this block's nodes they name (PAD never matches)
-            ids_row = ids_buf[slot, r : r + 1, :]
+            ids_row = wide_row(ids_buf, slot, r)
             onehot = (ids_row == row_ids).astype(jnp.bfloat16)
             sv, sb = subrow_sums(slot, c, r)
             if split and r % 2 == 1:
@@ -2364,7 +2382,16 @@ def fused_sigma_unsorted_pallas(
     # measured defaults (scripts/sweep_epilog.py, 1M edges, v5e):
     # slots=4 + split 5.42 ms vs 5.69 at the old double-buffer default
     slots = max(int(os.environ.get("GNNOME_SIGMA_SLOTS", "4")), 2)
-    split = os.environ.get("GNNOME_SIGMA_SPLIT", "1") == "1"
+    # GNNOME_SIGMA_BATCH: subrows per select/accumulate matmul, clamped
+    # to a divisor of the plan group (same lever as GNNOME_EPILOG_BATCH).
+    # Measured at 1M edges on v5e (SWEEP_ROUND=4): batch4 nosplit 3.79 ms
+    # vs batch1 split 4.97 — batching already shortens the dot chain, so
+    # the split interleave defaults OFF when batch > 1.
+    batch = max(int(os.environ.get("GNNOME_SIGMA_BATCH", "4")), 1)
+    while dst_plan.group % batch != 0:
+        batch //= 2
+    split = os.environ.get(
+        "GNNOME_SIGMA_SPLIT", "1" if batch == 1 else "0") == "1"
     # per-slot scratch: value windows + the e_new chunk + two ids tiles —
     # clamp the pipeline depth so total scratch stays within ~10 MB VMEM
     per_slot = (
@@ -2377,7 +2404,7 @@ def fused_sigma_unsorted_pallas(
     kernel = functools.partial(
         _fused_sigma_unsorted_kernel, block_nodes=bn, feat_dim=d,
         wr=dst_plan.wr, group=dst_plan.group, sub=sub, slots=slots,
-        split=split,
+        split=split, batch=batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -2447,9 +2474,14 @@ def _gate_front_kernel(
     nslots: int,
     n_edges: int,
     groups: tuple = (1, 1),  # per plan: subrows served per window pair
+    batch: int = 1,
 ):
     from gnnome_tpu.ops.banded import _select_matmul
 
+    assert all(g % batch == 0 for g in groups), (groups, batch)
+    nb = SUBCHUNKS // batch  # batched rows per chunk
+    bl = batch * LANE
+    gpb = tuple(g // batch for g in groups)  # batched rows per window pair
     c = pl.program_id(0)
     gpc = tuple(SUBCHUNKS // g for g in groups)  # groups per chunk, per ti
 
@@ -2473,24 +2505,31 @@ def _gate_front_kernel(
 
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (wr_s, 1), 0)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (wr_d, 1), 0)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (bl, 1), 0)
     m_sum = jnp.zeros((1, out_dim), jnp.float32)
     m_sq = jnp.zeros((1, out_dim), jnp.float32)
-    for r in range(SUBCHUNKS):
-        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(2))
+
+    def wide_row(ref, r):
+        """[1, bl] ids row from ``batch`` [1, LANE] tiles (lane concat)."""
+        parts = [ref[r * batch + j : r * batch + j + 1, :]
+                 for j in range(batch)]
+        return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
+
+    for r in range(nb):
+        gg = tuple(c * gpc[ti] + r // gpb[ti] for ti in range(2))
         slot = tuple(gg[ti] % nslots for ti in range(2))
         for ti in range(2):
-            if r % groups[ti] == 0:
+            if r % gpb[ti] == 0:
                 for wi in range(2):
                     window_dma(slot[ti], gg[ti], wi, ti).wait()
-        ids_s = ids_s_ref[r : r + 1, :]  # [1, LANE]
-        ids_d = ids_d_ref[r : r + 1, :]
+        ids_s = wide_row(ids_s_ref, r)  # [1, bl]
+        ids_d = wide_row(ids_d_ref, r)
         # B3 projection on the MXU, matching the XLA linear()'s numerics:
         # Mosaic requires a 32-bit accumulator, so ask for f32 and round
         # the result to the edge dtype ourselves — exactly what XLA's
         # bf16 dot does. f32 inputs need HIGHEST or Mosaic truncates the
         # MXU operands to bf16.
-        e_tile = e_ref[r * LANE : (r + 1) * LANE, :]
+        e_tile = e_ref[r * bl : (r + 1) * bl, :]
         prec = (None if e_tile.dtype == jnp.bfloat16
                 else jax.lax.Precision.HIGHEST)
         proj = jax.lax.dot_general(
@@ -2506,12 +2545,12 @@ def _gate_front_kernel(
             acc = acc + _select_matmul(
                 oh_d.astype(jnp.bfloat16), win2_buf[slot[1], wi])
         gate_t = acc.astype(gate_ref.dtype)
-        gate_ref[r * LANE : (r + 1) * LANE, :] = gate_t
+        gate_ref[r * bl : (r + 1) * bl, :] = gate_t
         # moments see the OUTPUT-dtype-rounded gate (matches the XLA path,
         # which computes masked_moments on the materialized bf16 gate);
         # padding is a static edge suffix, so the mask is an iota compare
         gf = gate_t.astype(jnp.float32)
-        mask = (row_idx + (c * CHUNK_EDGES + r * LANE) < n_edges).astype(
+        mask = (row_idx + (c * CHUNK_EDGES + r * bl) < n_edges).astype(
             jnp.float32
         )
         gm = gf * mask
@@ -2519,7 +2558,7 @@ def _gate_front_kernel(
         m_sq = m_sq + jnp.sum(gm * gf, axis=0, keepdims=True)
 
         for ti in range(2):
-            if r % groups[ti] == groups[ti] - 1:
+            if r % gpb[ti] == gpb[ti] - 1:
                 @pl.when(gg[ti] + nslots < total_groups[ti])
                 def _(ti=ti):
                     for wi in range(2):
@@ -2572,13 +2611,18 @@ def gate_front_pallas(
     nslots = int(max(2, min(8, 4_500_000 // per_slot)))
     total_subrows = e_pad // LANE
     nchunks = e_pad // CHUNK_EDGES
+    # GNNOME_GATE_BATCH: subrows per select/B3 matmul, clamped to a common
+    # divisor of both plan groups (same lever as GNNOME_EPILOG_BATCH)
+    batch = max(int(os.environ.get("GNNOME_GATE_BATCH", "4")), 1)
+    while src_plan.group % batch != 0 or dst_plan.group % batch != 0:
+        batch //= 2
 
     kernel = functools.partial(
         _gate_front_kernel, wr_s=src_plan.wr, wr_d=dst_plan.wr, out_dim=d,
         total_groups=(total_subrows // src_plan.group,
                       total_subrows // dst_plan.group),
         nslots=nslots, n_edges=n_edges,
-        groups=(src_plan.group, dst_plan.group),
+        groups=(src_plan.group, dst_plan.group), batch=batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -2662,6 +2706,7 @@ def _fused_gate_gather_kernel(
     sub: int = 0,
     slots: int = 2,
     split: bool = False,
+    batch: int = 1,
 ):
     """``_fused_gate_kernel`` with the neighbor-value gather folded in:
     instead of streaming a pregathered [E, D] ``vals`` table, each subrow
@@ -2688,9 +2733,21 @@ def _fused_gate_gather_kernel(
     form did a VMEM read-modify-write per subrow per half — 16 serialized
     round-trips through the same region per chunk). ``split`` breaks the
     8-dot accumulate dependency chain into two interleaved chains
-    (GNNOME_EPILOG_SPLIT, as in ``_segment_sum_sub_kernel``)."""
+    (GNNOME_EPILOG_SPLIT, as in ``_segment_sum_sub_kernel``).
+
+    ``batch > 1`` (GNNOME_EPILOG_BATCH; must divide the plan ``group``)
+    processes ``batch`` consecutive subrows per iteration: their [1, 128]
+    ids tiles are lane-concatenated into one [1, batch·128] row, so each
+    iteration issues ONE wide select per window ([wr, batch·128] one-hot)
+    and ONE wide accumulate per half (contraction batch·128) instead of
+    ``batch`` narrow ones — same FLOPs, 1/batch the MXU issue count and
+    accumulate-chain depth."""
     from gnnome_tpu.ops.banded import _select_matmul
 
+    assert group % batch == 0, (group, batch)
+    nb = SUBCHUNKS // batch  # batched rows per chunk
+    bl = batch * LANE  # ids per batched row
+    gpb = group // batch  # batched rows served per window group
     i = pl.program_id(0)
     lo = chunk_lo_ref[i]
     hi = chunk_hi_ref[i]
@@ -2715,6 +2772,15 @@ def _fused_gate_gather_kernel(
                 vids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
                 vids_buf.at[slot], sems.at[slot, 3]),
         )
+
+    def wide_row(buf, slot, r):
+        """[1, bl] ids row: ``batch`` consecutive [1, LANE] subrow tiles
+        laid side by side (lane concat — a layout op, no data movement
+        through HBM; a <8-row DMA of a reshaped view would violate the
+        (8, 128) tiling)."""
+        parts = [buf[slot, r * batch + j : r * batch + j + 1, :]
+                 for j in range(batch)]
+        return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
 
     gpc = SUBCHUNKS // group  # window groups per chunk
 
@@ -2769,26 +2835,26 @@ def _fused_gate_gather_kernel(
             out_dma(slot, c - slots).wait()
 
         def chunk_accumulate(row_ids, a1, a2):
-            """8 subrows of this chunk: window waits, banded value select,
-            gate epilog (e_new staged for write-back), σ, and the one-hot
-            accumulate into REGISTER values a1/a2 (callers read the out
-            block once and write once)."""
+            """nb batched rows of this chunk: window waits, banded value
+            select, gate epilog (e_new staged for write-back), σ, and the
+            one-hot accumulate into REGISTER values a1/a2 (callers read
+            the out block once and write once)."""
             b1 = jnp.zeros_like(a1) if split else None
             b2 = jnp.zeros_like(a2) if split else None
-            for r in range(SUBCHUNKS):
-                gr = r // group
-                if r % group == 0:
+            for r in range(nb):
+                gr = r // gpb
+                if r % gpb == 0:
                     for wi in range(2):
                         window_dma(slot, c, gr, wi).wait()
-                ids_row = ids_buf[slot, r : r + 1, :]
-                sl = slice(r * LANE, (r + 1) * LANE)
+                ids_row = wide_row(ids_buf, slot, r)
+                sl = slice(r * bl, (r + 1) * bl)
                 graw = g_buf[slot, sl, :].astype(jnp.float32)
                 ein = e_buf[slot, sl, :].astype(jnp.float32)
-                vids_row = vids_buf[slot, r : r + 1, :]  # [1, LANE]
-                v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+                vids_row = wide_row(vids_buf, slot, r)  # [1, bl]
+                v_rows = jnp.zeros((bl, feat_dim), jnp.float32)
                 for wi in range(2):
                     base = w0_ref[2 * (c * gpc + gr) + wi]
-                    sel = (row_iota + base == vids_row)  # [wr, LANE]
+                    sel = (row_iota + base == vids_row)  # [wr, bl]
                     v_rows = v_rows + _select_matmul(
                         sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
                 enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
@@ -2902,6 +2968,13 @@ def fused_gate_sigma_gather_pallas(
     is_last = jnp.arange(nblocks) == nblocks - 1
     chunk_hi = jnp.where(is_last, e_pad // ch, chunk_hi).astype(jnp.int32)
     chunk_lo = jnp.minimum(chunk_lo, chunk_hi).astype(jnp.int32)
+    # GNNOME_EPILOG_BATCH: subrows fused per select/accumulate matmul
+    # (clamped to a divisor of the plan group — batched rows must share
+    # one window pair). Measured at 1M edges on v5e (SWEEP_ROUND=3):
+    # batch4 6.74 ms vs batch1 7.62 — fewer, wider MXU issues win.
+    batch = max(int(os.environ.get("GNNOME_EPILOG_BATCH", "4")), 1)
+    while value_plan.group % batch != 0:
+        batch //= 2
     ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
     vids_2d = value_ids.reshape(e_pad // LANE, LANE)
 
@@ -2937,7 +3010,7 @@ def fused_gate_sigma_gather_pallas(
     kernel = functools.partial(
         _fused_gate_gather_kernel, block_nodes=bn, feat_dim=d,
         wr=value_plan.wr, group=value_plan.group, sub=sub, slots=slots,
-        split=split,
+        split=split, batch=batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

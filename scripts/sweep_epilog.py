@@ -90,9 +90,44 @@ def main() -> None:
             ("sub192 slots4", {"GNNOME_SUBTILE": "192",
                                "GNNOME_EPILOG_SLOTS": "4"}),
         ]
+    if os.environ.get("SWEEP_ROUND", "1") == "3":
+        # batched select/accumulate matmuls (GNNOME_EPILOG_BATCH)
+        epilog_configs = [
+            ("batch1", {"GNNOME_EPILOG_BATCH": "1"}),
+            ("batch2", {"GNNOME_EPILOG_BATCH": "2"}),
+            ("batch4", {"GNNOME_EPILOG_BATCH": "4"}),
+            ("batch2 slots2", {"GNNOME_EPILOG_BATCH": "2",
+                               "GNNOME_EPILOG_SLOTS": "2"}),
+            ("batch4 slots2", {"GNNOME_EPILOG_BATCH": "4",
+                               "GNNOME_EPILOG_SLOTS": "2"}),
+        ]
+    if os.environ.get("SWEEP_ROUND", "1") == "4":
+        epilog_configs = []
+        sigma_batch_configs = [
+            ("batch1", {"GNNOME_SIGMA_BATCH": "1"}),
+            ("batch2", {"GNNOME_SIGMA_BATCH": "2"}),
+            ("batch4", {"GNNOME_SIGMA_BATCH": "4"}),
+            ("batch4 nosplit", {"GNNOME_SIGMA_BATCH": "4",
+                                "GNNOME_SIGMA_SPLIT": "0"}),
+        ]
+        if graph.by_src.canon_banded:
+            print("fused_sigma_reverse_unsorted (opposite):", flush=True)
+            for name, env in sigma_batch_configs:
+                for k in ("GNNOME_SIGMA_SLOTS", "GNNOME_SIGMA_SPLIT",
+                          "GNNOME_SIGMA_SUB", "GNNOME_SIGMA_BATCH"):
+                    os.environ.pop(k, None)
+                os.environ.update(env)
+                timeit(name,
+                       lambda v, g: _fused_sigma_reverse_unsorted(
+                           v, g, src_key, graph.dst, graph.by_src,
+                           graph.by_dst, n_pad, backend),
+                       lambda out, old: out[:, :d].astype(old.dtype),
+                       nodes, edges)
+        return
     print("fused_gate_sigma_gather (epilog):", flush=True)
     for name, env in epilog_configs:
-        for k in ("GNNOME_EPILOG_SLOTS", "GNNOME_EPILOG_SPLIT", "GNNOME_SUBTILE"):
+        for k in ("GNNOME_EPILOG_SLOTS", "GNNOME_EPILOG_SPLIT",
+                  "GNNOME_SUBTILE", "GNNOME_EPILOG_BATCH"):
             os.environ.pop(k, None)
         os.environ.update(env)
         timeit(name,
@@ -121,7 +156,7 @@ def main() -> None:
             ("sub256 slots6 split", {"GNNOME_SIGMA_SLOTS": "6",
                                      "GNNOME_SIGMA_SPLIT": "1"}),
         ]
-    if graph.by_src.canon_banded:
+    if graph.by_src.canon_banded and os.environ.get("SWEEP_ROUND", "1") != "3":
         print("fused_sigma_reverse_unsorted (opposite):", flush=True)
         for name, env in sigma_configs:
             for k in ("GNNOME_SIGMA_SLOTS", "GNNOME_SIGMA_SPLIT",
