@@ -100,6 +100,31 @@ def _env_sub(name: str, policy: int) -> int:
 
 
 
+def _pick_batch(name: str, *divisor_constraints: int,
+                default: str = "4") -> int:
+    """Resolve a subrow-batching knob: env value (default 4) halved until
+    it divides every constraint (band-plan groups / the 8-subrow chunk).
+    Batched rows share one window pair, so the batch must divide the
+    plan group; 1 disables batching (the original per-subrow form)."""
+    batch = max(int(os.environ.get(name, default)), 1)
+    while any(c % batch != 0 for c in divisor_constraints):
+        batch //= 2
+    return batch
+
+
+def _wide_onehot(mk, batch: int):
+    """[rows, batch·LANE] bf16 one-hot: lane-concat of ``batch``
+    per-subrow compare results (``mk(j)`` -> bool[rows, LANE]).
+
+    The compares are COMPUTED values at canonical sublane offset 0, so
+    the concat is a pure lane-placement op; concatenating the sliced
+    [1, LANE] ids rows instead hands Mosaic operands at offsets
+    {0,0},{1,0},... and its tpu.concatenate rejects mismatched offsets
+    on the non-concat dimension."""
+    parts = [mk(j).astype(jnp.bfloat16) for j in range(batch)]
+    return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
+
+
 def _acc_matmul(acc, onehot_bf16, tile):
     """acc += onehot @ tile with dtype-appropriate exactness: single pass
     for bf16 tiles; 3-term bf16 split (~f32 exact) for f32 tiles."""
@@ -470,6 +495,7 @@ def _segment_sum_stream_kernel(
     slots: int,
     out_dim: int,
     split: bool,
+    batch: int = 1,
 ):
     """Edge-major streaming segment-sum: ONE pass over all chunks with a
     single `slots`-deep DMA pipeline (the block-major kernel restarts its
@@ -487,7 +513,18 @@ def _segment_sum_stream_kernel(
     the _stream_plan simulation: zero-frontier − flush-base ≤ W always,
     so (a) zeroing block b implies flush(b−R) already started — its wait
     is well-defined — and (b) an accumulate never touches a phys row
-    whose previous-generation flush hasn't been waited."""
+    whose previous-generation flush hasn't been waited.
+
+    ``batch > 1`` (GNNOME_SEGSUM_BATCH, a divisor of the 8-subrow chunk):
+    lane-concatenated one-hot compares make each accumulate one wide
+    matmul (contraction batch·128) instead of ``batch`` narrow ones —
+    flush/zero state is per-chunk, so batching within the chunk is
+    semantically free, but the wider contraction re-associates the f32
+    sums, so the default stays 1 (bit-identity with the block-major
+    fallback is test-pinned); opt in via the env knob."""
+    assert SUBCHUNKS % batch == 0, batch
+    nb = SUBCHUNKS // batch
+    bl = batch * LANE
     F = STREAM_F
     R = w // F
 
@@ -542,10 +579,12 @@ def _segment_sum_stream_kernel(
 
     def accumulate(acc, row_ids, slot):
         acc2 = jnp.zeros_like(acc) if split else None
-        for r in range(SUBCHUNKS):
-            ids_row = ids_buf[slot, r : r + 1, :]
-            onehot = (ids_row == row_ids).astype(jnp.bfloat16)
-            tile = data_buf[slot, r * LANE : (r + 1) * LANE, :]
+        for r in range(nb):
+            onehot = _wide_onehot(
+                lambda j: (ids_buf[slot, r * batch + j
+                                   : r * batch + j + 1, :] == row_ids),
+                batch)
+            tile = data_buf[slot, r * bl : (r + 1) * bl, :]
             if split and r % 2 == 1:
                 acc2 = _acc_matmul(acc2, onehot, tile)
             else:
@@ -596,10 +635,12 @@ def _segment_sum_stream_kernel(
             phys_ids = jnp.where(idsv < num_segments, idsv & (w - 1), w)
             acc2 = jnp.zeros_like(window[...]) if split else None
             acc = window[...]
-            for r in range(SUBCHUNKS):
-                ids_row = phys_ids[r : r + 1, :]
-                onehot = (ids_row == w_iota).astype(jnp.bfloat16)
-                tile = data_buf[slot, r * LANE : (r + 1) * LANE, :]
+            for r in range(nb):
+                onehot = _wide_onehot(
+                    lambda j: (phys_ids[r * batch + j
+                                        : r * batch + j + 1, :] == w_iota),
+                    batch)
+                tile = data_buf[slot, r * bl : (r + 1) * bl, :]
                 if split and r % 2 == 1:
                     acc2 = _acc_matmul(acc2, onehot, tile)
                 else:
@@ -648,7 +689,11 @@ def _launch_segment_sum_stream(data2d, ids_2d, safe_tgt, num_segments, w,
     kernel = functools.partial(
         _segment_sum_stream_kernel, nchunks=nchunks,
         num_segments=num_segments, w=w, sub=sub, slots=slots, out_dim=d,
-        split=split)
+        split=split,
+        # default 1: the wider contraction re-associates the f32 segment
+        # sums, and the streaming kernels are pinned BIT-identical to the
+        # block-major fallback (test_segsum_stream) — opt-in knob only
+        batch=_pick_batch("GNNOME_SEGSUM_BATCH", SUBCHUNKS, default="1"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -722,6 +767,7 @@ def _gate_front_bwd_stream_kernel(
     sub_s: int,
     slots: int,
     out_dim: int,
+    batch: int = 1,
 ):
     """Fused gate-front backward: ONE streaming pass computes
     ``d_total = d_gate + mask·(dΣg + 2·gate·dΣg²)`` in-register from the
@@ -732,7 +778,14 @@ def _gate_front_bwd_stream_kernel(
     for the B3 matmul grads, and accumulates d_bias3 in f32. Replaces an
     XLA elementwise pass + two separate segment-sum launches: d_total is
     read zero extra times instead of three.
+
+    ``batch > 1`` (GNNOME_SEGSUM_BATCH): wide lane-concatenated
+    accumulates, one matmul per ``batch`` subrows (see
+    ``_segment_sum_stream_kernel``).
     """
+    assert SUBCHUNKS % batch == 0, batch
+    nb = SUBCHUNKS // batch
+    bl = batch * LANE
     F = STREAM_F
     dm0 = dmom_ref[0:1, :]
     dm1 = dmom_ref[1:2, :]
@@ -803,7 +856,7 @@ def _gate_front_bwd_stream_kernel(
                  if sub_s else None)
     wd_iota = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0)
     ws_iota = jax.lax.broadcasted_iota(jnp.int32, (ws, 1), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bl, 1), 0)
 
     dbias_ref[...] = jnp.zeros((8, out_dim), jnp.float32)
 
@@ -830,12 +883,12 @@ def _gate_front_bwd_stream_kernel(
         zf_s = jax.lax.fori_loop(
             0, (jnp.maximum(meta_s_ref[c, 1], zf_s) - zf_s) // F, zb_s, zf_s)
 
-        # d_total epilog + dual accumulate, one subrow at a time
+        # d_total epilog + dual accumulate, one batched row at a time
         def subrow_dt(r):
-            sl = slice(r * LANE, (r + 1) * LANE)
+            sl = slice(r * bl, (r + 1) * bl)
             dg = dg_buf[slot, sl, :].astype(jnp.float32)
             g = g_buf[slot, sl, :].astype(jnp.float32)
-            mask = (c * CHUNK_EDGES + r * LANE + lane_iota) < n_edges
+            mask = (c * CHUNK_EDGES + r * bl + lane_iota) < n_edges
             dt32 = dg + jnp.where(mask, dm0 + 2.0 * g * dm1, 0.0)
             return dt32
 
@@ -856,21 +909,23 @@ def _gate_front_bwd_stream_kernel(
             if sub_s else jnp.bool_(False)
 
         def tile(r):
-            return dt_buf[slot, r * LANE : (r + 1) * LANE, :]
+            return dt_buf[slot, r * bl : (r + 1) * bl, :]
 
         def accumulate(acc, row_ids, ids_buf_):
-            for r in range(SUBCHUNKS):
-                ids_row = ids_buf_[slot, r : r + 1, :]
-                onehot = (ids_row == row_ids).astype(jnp.bfloat16)
+            for r in range(nb):
+                onehot = _wide_onehot(
+                    lambda j: (ids_buf_[slot, r * batch + j
+                                        : r * batch + j + 1, :] == row_ids),
+                    batch)
                 acc = _acc_matmul(acc, onehot, tile(r))
             return acc
 
-        # compute all 8 subrow d_totals once; stage d_total; dbias
+        # compute all batched-row d_totals once; stage d_total; dbias
         dbias = dbias_ref[0:1, :]
-        for r in range(SUBCHUNKS):
+        for r in range(nb):
             dt32 = subrow_dt(r)
             dbias = dbias + jnp.sum(dt32, axis=0, keepdims=True)
-            dt_buf[slot, r * LANE : (r + 1) * LANE, :] = dt32.astype(
+            dt_buf[slot, r * bl : (r + 1) * bl, :] = dt32.astype(
                 dt_buf.dtype)
         dbias_ref[0:1, :] = dbias
         dt_dma(slot, c).start()
@@ -892,8 +947,11 @@ def _gate_front_bwd_stream_kernel(
             idsv = idsd_buf[slot]
             phys_ids = jnp.where(idsv < n_dst, idsv & (wd - 1), wd)
             acc = win_d[...]
-            for r in range(SUBCHUNKS):
-                onehot = (phys_ids[r : r + 1, :] == wd_iota).astype(jnp.bfloat16)
+            for r in range(nb):
+                onehot = _wide_onehot(
+                    lambda j: (phys_ids[r * batch + j
+                                        : r * batch + j + 1, :] == wd_iota),
+                    batch)
                 acc = _acc_matmul(acc, onehot, tile(r))
             win_d[...] = acc
 
@@ -914,8 +972,11 @@ def _gate_front_bwd_stream_kernel(
             idsv = idss_buf[slot]
             phys_ids = jnp.where(idsv < n_src, idsv & (ws - 1), ws)
             acc = win_s[...]
-            for r in range(SUBCHUNKS):
-                onehot = (phys_ids[r : r + 1, :] == ws_iota).astype(jnp.bfloat16)
+            for r in range(nb):
+                onehot = _wide_onehot(
+                    lambda j: (phys_ids[r * batch + j
+                                        : r * batch + j + 1, :] == ws_iota),
+                    batch)
                 acc = _acc_matmul(acc, onehot, tile(r))
             win_s[...] = acc
 
@@ -988,7 +1049,10 @@ def gate_front_bwd_stream_pallas(
     kernel = functools.partial(
         _gate_front_bwd_stream_kernel, nchunks=nchunks, n_dst=n_dst,
         n_src=n_src, n_edges=n_edges, wd=w_dst, ws=w_src, sub_d=sub_d,
-        sub_s=sub_s, slots=slots, out_dim=d)
+        sub_s=sub_s, slots=slots, out_dim=d,
+        # default 1, as in _launch_segment_sum_stream (bit-identity with
+        # the composed fallback is test-pinned)
+        batch=_pick_batch("GNNOME_SEGSUM_BATCH", SUBCHUNKS, default="1"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -1380,14 +1444,24 @@ def _epilog_bwd_kernel(
     total_groups: tuple,
     nslots: int,
     groups: tuple = (1, 1),  # (key-plan group, value-plan group)
+    batch: int = 1,
 ):
     """Backward of the gather-fused gate epilog in ONE pass per edge chunk:
     the [E, 2D] gathered sums-cotangent and the [E, D] regathered neighbor
     values are selected from banded VMEM windows in-kernel, the σ′/relu
     chain runs on the tiles, and the three [E, D] output cotangents are the
-    only full-edge HBM writes (the XLA composition pays ~6 more passes)."""
+    only full-edge HBM writes (the XLA composition pays ~6 more passes).
+
+    ``batch > 1`` (GNNOME_EPILOG_BATCH, clamped to divide both plan
+    groups): lane-concatenated [1, batch·128] ids rows issue one wide
+    select per window instead of ``batch`` narrow ones (see
+    ``_fused_gate_gather_kernel``)."""
     from gnnome_tpu.ops.banded import _select_matmul
 
+    assert all(g % batch == 0 for g in groups), (groups, batch)
+    nb = SUBCHUNKS // batch
+    bl = batch * LANE
+    gpb = tuple(g // batch for g in groups)
     c = pl.program_id(0)
     scale2 = affine_ref[0:1, :].astype(jnp.float32)
     gpc = tuple(SUBCHUNKS // g for g in groups)
@@ -1415,27 +1489,32 @@ def _epilog_bwd_kernel(
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
     a_scale = jnp.zeros((1, feat_dim), jnp.float32)
     a_bias = jnp.zeros((1, feat_dim), jnp.float32)
-    for r in range(SUBCHUNKS):
-        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(2))
+
+    for r in range(nb):
+        gg = tuple(c * gpc[ti] + r // gpb[ti] for ti in range(2))
         slot = tuple(gg[ti] % nslots for ti in range(2))
         for ti in range(2):
-            if r % groups[ti] == 0:
+            if r % gpb[ti] == 0:
                 for wi in range(2):
                     window_dma(slot[ti], gg[ti], wi, ti).wait()
-        key_row = key_ids_ref[r : r + 1, :]  # [1, LANE] (PAD on padding)
-        vid_row = vids_ref[r : r + 1, :]
-        gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
-        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        gc = jnp.zeros((bl, 2 * feat_dim), jnp.float32)
+        v_rows = jnp.zeros((bl, feat_dim), jnp.float32)
         for wi in range(2):
-            sel_g = (iota_g + w0g_ref[2 * gg[0] + wi] == key_row)
-            gc = gc + _select_matmul(
-                sel_g.astype(jnp.bfloat16), wing_buf[slot[0], wi])
-            sel_v = (iota_v + w0v_ref[2 * gg[1] + wi] == vid_row)
-            v_rows = v_rows + _select_matmul(
-                sel_v.astype(jnp.bfloat16), winv_buf[slot[1], wi])
+            sel_g = _wide_onehot(
+                lambda j: (iota_g + w0g_ref[2 * gg[0] + wi]
+                           == key_ids_ref[r * batch + j
+                                          : r * batch + j + 1, :]),
+                batch)
+            gc = gc + _select_matmul(sel_g, wing_buf[slot[0], wi])
+            sel_v = _wide_onehot(
+                lambda j: (iota_v + w0v_ref[2 * gg[1] + wi]
+                           == vids_ref[r * batch + j
+                                       : r * batch + j + 1, :]),
+                batch)
+            v_rows = v_rows + _select_matmul(sel_v, winv_buf[slot[1], wi])
         g1 = gc[:, :feat_dim]
         g2 = gc[:, feat_dim:]
-        sl = slice(r * LANE, (r + 1) * LANE)
+        sl = slice(r * bl, (r + 1) * bl)
         graw = graw_ref[sl, :].astype(jnp.float32)
         e_new = enew_ref[sl, :].astype(jnp.float32)
         sig = jax.nn.sigmoid(e_new)
@@ -1451,7 +1530,7 @@ def _epilog_bwd_kernel(
         a_bias = a_bias + jnp.sum(d_pre, axis=0, keepdims=True)
 
         for ti in range(2):
-            if r % groups[ti] == groups[ti] - 1:
+            if r % gpb[ti] == gpb[ti] - 1:
                 @pl.when(gg[ti] + nslots < total_groups[ti])
                 def _(ti=ti):
                     for wi in range(2):
@@ -1484,12 +1563,15 @@ def epilog_bwd_pallas(
     total_subrows = e_pad // LANE
     nchunks = e_pad // CHUNK_EDGES
 
+    batch = _pick_batch("GNNOME_EPILOG_BATCH", key_plan.group,
+                        value_plan.group)
     kernel = functools.partial(
         _epilog_bwd_kernel, wr_g=key_plan.wr, wr_v=value_plan.wr,
         feat_dim=d,
         total_groups=(total_subrows // key_plan.group,
                       total_subrows // value_plan.group),
         nslots=nslots, groups=(key_plan.group, value_plan.group),
+        batch=batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1571,6 +1653,7 @@ def _rev_bwd_kernel(
     total_groups: tuple,
     nslots: int,
     groups: tuple = (1, 1),  # (src key plan group, dst plan group)
+    batch: int = 1,
 ):
     """Backward of the permutation-free reverse aggregation in ONE pass
     per canonical edge chunk: the [E, 2D] cotangent gather keyed on the
@@ -1580,9 +1663,17 @@ def _rev_bwd_kernel(
     writes. Replaces the XLA composition in ``segment._rev_unsorted_bwd``
     (a [E, 2D] take + a [E, D] take + the elementwise chain = ~4 extra
     full-edge HBM passes). PAD src keys select zero rows of the cotangent
-    (same semantics as ``take_rows(..., masked=True)``)."""
+    (same semantics as ``take_rows(..., masked=True)``).
+
+    ``batch > 1`` (GNNOME_EPILOG_BATCH, clamped to divide both plan
+    groups): wide lane-concatenated selects, see
+    ``_fused_gate_gather_kernel``."""
     from gnnome_tpu.ops.banded import _select_matmul
 
+    assert all(g % batch == 0 for g in groups), (groups, batch)
+    nb = SUBCHUNKS // batch
+    bl = batch * LANE
+    gpb = tuple(g // batch for g in groups)
     c = pl.program_id(0)
     gpc = tuple(SUBCHUNKS // g for g in groups)
 
@@ -1606,34 +1697,39 @@ def _rev_bwd_kernel(
 
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (wr_g, 1), 0)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (wr_v, 1), 0)
-    for r in range(SUBCHUNKS):
-        gg = tuple(c * gpc[ti] + r // groups[ti] for ti in range(2))
+
+    for r in range(nb):
+        gg = tuple(c * gpc[ti] + r // gpb[ti] for ti in range(2))
         slot = tuple(gg[ti] % nslots for ti in range(2))
         for ti in range(2):
-            if r % groups[ti] == 0:
+            if r % gpb[ti] == 0:
                 for wi in range(2):
                     window_dma(slot[ti], gg[ti], wi, ti).wait()
-        key_row = key_ids_ref[r : r + 1, :]  # [1, LANE] (PAD on padding)
-        vid_row = vids_ref[r : r + 1, :]
-        gc = jnp.zeros((LANE, 2 * feat_dim), jnp.float32)
-        v_rows = jnp.zeros((LANE, feat_dim), jnp.float32)
+        gc = jnp.zeros((bl, 2 * feat_dim), jnp.float32)
+        v_rows = jnp.zeros((bl, feat_dim), jnp.float32)
         for wi in range(2):
-            sel_g = (iota_g + w0g_ref[2 * gg[0] + wi] == key_row)
-            gc = gc + _select_matmul(
-                sel_g.astype(jnp.bfloat16), wing_buf[slot[0], wi])
-            sel_v = (iota_v + w0v_ref[2 * gg[1] + wi] == vid_row)
-            v_rows = v_rows + _select_matmul(
-                sel_v.astype(jnp.bfloat16), winv_buf[slot[1], wi])
+            sel_g = _wide_onehot(
+                lambda j: (iota_g + w0g_ref[2 * gg[0] + wi]
+                           == key_ids_ref[r * batch + j
+                                          : r * batch + j + 1, :]),
+                batch)
+            gc = gc + _select_matmul(sel_g, wing_buf[slot[0], wi])
+            sel_v = _wide_onehot(
+                lambda j: (iota_v + w0v_ref[2 * gg[1] + wi]
+                           == vids_ref[r * batch + j
+                                       : r * batch + j + 1, :]),
+                batch)
+            v_rows = v_rows + _select_matmul(sel_v, winv_buf[slot[1], wi])
         g1 = gc[:, :feat_dim]
         g2 = gc[:, feat_dim:]
-        sl = slice(r * LANE, (r + 1) * LANE)
+        sl = slice(r * bl, (r + 1) * bl)
         sig = jax.nn.sigmoid(enew_ref[sl, :].astype(jnp.float32))
         dsig = sig * (1.0 - sig)
         dge_ref[sl, :] = ((g1 * v_rows + g2) * dsig).astype(dge_ref.dtype)
         dgv_ref[sl, :] = (g1 * sig).astype(dgv_ref.dtype)
 
         for ti in range(2):
-            if r % groups[ti] == groups[ti] - 1:
+            if r % gpb[ti] == gpb[ti] - 1:
                 @pl.when(gg[ti] + nslots < total_groups[ti])
                 def _(ti=ti):
                     for wi in range(2):
@@ -1662,11 +1758,14 @@ def rev_bwd_pallas(
     total_subrows = e_pad // LANE
     nchunks = e_pad // CHUNK_EDGES
 
+    batch = _pick_batch("GNNOME_EPILOG_BATCH", key_plan.group,
+                        value_plan.group)
     kernel = functools.partial(
         _rev_bwd_kernel, wr_g=key_plan.wr, wr_v=value_plan.wr, feat_dim=d,
         total_groups=(total_subrows // key_plan.group,
                       total_subrows // value_plan.group),
         nslots=nslots, groups=(key_plan.group, value_plan.group),
+        batch=batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -2177,9 +2276,9 @@ def _fused_sigma_unsorted_kernel(
     the math entirely.
 
     ``batch > 1`` (GNNOME_SIGMA_BATCH; must divide the plan ``group``):
-    lane-concatenated [1, batch·128] ids rows turn the ``batch`` narrow
-    select/accumulate matmuls into one wide issue each (same lever as
-    ``_fused_gate_gather_kernel``)."""
+    lane-concatenated one-hot compares (``_wide_onehot``) turn the
+    ``batch`` narrow select/accumulate matmuls into one wide issue each
+    (same lever as ``_fused_gate_gather_kernel``)."""
     from gnnome_tpu.ops.banded import _select_matmul
 
     assert group % batch == 0, (group, batch)
@@ -2235,25 +2334,19 @@ def _fused_sigma_unsorted_kernel(
     if sub:
         out_ref[...] = jnp.zeros((block_nodes, 2 * feat_dim), jnp.float32)
 
-    def wide_row(buf, slot, r):
-        """[1, bl] ids row: ``batch`` [1, LANE] subrow tiles lane-concat'd
-        (layout op only; a <8-row DMA of a reshaped HBM view would break
-        the (8, 128) tiling)."""
-        parts = [buf[slot, r * batch + j : r * batch + j + 1, :]
-                 for j in range(batch)]
-        return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
-
     def subrow_sums(slot, c, r):
         """(σ·v, σ) tiles of batched row ``r`` (the value-window select +
         the sigmoid), shared by the subtile and full-block accumulates."""
         gr = r // gpb
-        vids_row = wide_row(vids_buf, slot, r)
         v_rows = jnp.zeros((bl, feat_dim), jnp.float32)
         for wi in range(2):
             base = w0_ref[2 * (c * gpc + gr) + wi]
-            sel = (row_iota + base == vids_row)
-            v_rows = v_rows + _select_matmul(
-                sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
+            sel = _wide_onehot(
+                lambda j: (row_iota + base
+                           == vids_buf[slot, r * batch + j
+                                       : r * batch + j + 1, :]),
+                batch)
+            v_rows = v_rows + _select_matmul(sel, win_buf[slot, gr, wi])
         e_tile = e_buf[slot, r * bl : (r + 1) * bl, :]
         sig = jax.nn.sigmoid(e_tile.astype(jnp.float32))
         vdt = win_buf.dtype
@@ -2267,8 +2360,10 @@ def _fused_sigma_unsorted_kernel(
         for r in range(nb):
             # UNSORTED one-hot: src ids of this canonical subrow match
             # whichever of this block's nodes they name (PAD never matches)
-            ids_row = wide_row(ids_buf, slot, r)
-            onehot = (ids_row == row_ids).astype(jnp.bfloat16)
+            onehot = _wide_onehot(
+                lambda j: (ids_buf[slot, r * batch + j
+                                   : r * batch + j + 1, :] == row_ids),
+                batch)
             sv, sb = subrow_sums(slot, c, r)
             if split and r % 2 == 1:
                 b1 = _acc_matmul(b1, onehot, sv)
@@ -2387,9 +2482,7 @@ def fused_sigma_unsorted_pallas(
     # Measured at 1M edges on v5e (SWEEP_ROUND=4): batch4 nosplit 3.79 ms
     # vs batch1 split 4.97 — batching already shortens the dot chain, so
     # the split interleave defaults OFF when batch > 1.
-    batch = max(int(os.environ.get("GNNOME_SIGMA_BATCH", "4")), 1)
-    while dst_plan.group % batch != 0:
-        batch //= 2
+    batch = _pick_batch("GNNOME_SIGMA_BATCH", dst_plan.group)
     split = os.environ.get(
         "GNNOME_SIGMA_SPLIT", "1" if batch == 1 else "0") == "1"
     # per-slot scratch: value windows + the e_new chunk + two ids tiles —
@@ -2509,12 +2602,6 @@ def _gate_front_kernel(
     m_sum = jnp.zeros((1, out_dim), jnp.float32)
     m_sq = jnp.zeros((1, out_dim), jnp.float32)
 
-    def wide_row(ref, r):
-        """[1, bl] ids row from ``batch`` [1, LANE] tiles (lane concat)."""
-        parts = [ref[r * batch + j : r * batch + j + 1, :]
-                 for j in range(batch)]
-        return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
-
     for r in range(nb):
         gg = tuple(c * gpc[ti] + r // gpb[ti] for ti in range(2))
         slot = tuple(gg[ti] % nslots for ti in range(2))
@@ -2522,8 +2609,6 @@ def _gate_front_kernel(
             if r % gpb[ti] == 0:
                 for wi in range(2):
                     window_dma(slot[ti], gg[ti], wi, ti).wait()
-        ids_s = wide_row(ids_s_ref, r)  # [1, bl]
-        ids_d = wide_row(ids_d_ref, r)
         # B3 projection on the MXU, matching the XLA linear()'s numerics:
         # Mosaic requires a 32-bit accumulator, so ask for f32 and round
         # the result to the edge dtype ourselves — exactly what XLA's
@@ -2538,12 +2623,18 @@ def _gate_front_kernel(
         ).astype(e_tile.dtype)
         acc = (proj + bias3_ref[...]).astype(jnp.float32)
         for wi in range(2):
-            oh_s = (iota_s + w0s_ref[2 * gg[0] + wi] == ids_s)
-            acc = acc + _select_matmul(
-                oh_s.astype(jnp.bfloat16), win1_buf[slot[0], wi])
-            oh_d = (iota_d + w0d_ref[2 * gg[1] + wi] == ids_d)
-            acc = acc + _select_matmul(
-                oh_d.astype(jnp.bfloat16), win2_buf[slot[1], wi])
+            oh_s = _wide_onehot(
+                lambda j: (iota_s + w0s_ref[2 * gg[0] + wi]
+                           == ids_s_ref[r * batch + j
+                                        : r * batch + j + 1, :]),
+                batch)
+            acc = acc + _select_matmul(oh_s, win1_buf[slot[0], wi])
+            oh_d = _wide_onehot(
+                lambda j: (iota_d + w0d_ref[2 * gg[1] + wi]
+                           == ids_d_ref[r * batch + j
+                                        : r * batch + j + 1, :]),
+                batch)
+            acc = acc + _select_matmul(oh_d, win2_buf[slot[1], wi])
         gate_t = acc.astype(gate_ref.dtype)
         gate_ref[r * bl : (r + 1) * bl, :] = gate_t
         # moments see the OUTPUT-dtype-rounded gate (matches the XLA path,
@@ -2613,9 +2704,7 @@ def gate_front_pallas(
     nchunks = e_pad // CHUNK_EDGES
     # GNNOME_GATE_BATCH: subrows per select/B3 matmul, clamped to a common
     # divisor of both plan groups (same lever as GNNOME_EPILOG_BATCH)
-    batch = max(int(os.environ.get("GNNOME_GATE_BATCH", "4")), 1)
-    while src_plan.group % batch != 0 or dst_plan.group % batch != 0:
-        batch //= 2
+    batch = _pick_batch("GNNOME_GATE_BATCH", src_plan.group, dst_plan.group)
 
     kernel = functools.partial(
         _gate_front_kernel, wr_s=src_plan.wr, wr_d=dst_plan.wr, out_dim=d,
@@ -2736,11 +2825,11 @@ def _fused_gate_gather_kernel(
     (GNNOME_EPILOG_SPLIT, as in ``_segment_sum_sub_kernel``).
 
     ``batch > 1`` (GNNOME_EPILOG_BATCH; must divide the plan ``group``)
-    processes ``batch`` consecutive subrows per iteration: their [1, 128]
-    ids tiles are lane-concatenated into one [1, batch·128] row, so each
-    iteration issues ONE wide select per window ([wr, batch·128] one-hot)
-    and ONE wide accumulate per half (contraction batch·128) instead of
-    ``batch`` narrow ones — same FLOPs, 1/batch the MXU issue count and
+    processes ``batch`` consecutive subrows per iteration: their one-hot
+    compares are lane-concatenated (``_wide_onehot``) so each iteration
+    issues ONE wide select per window ([wr, batch·128]) and ONE wide
+    accumulate per half (contraction batch·128) instead of ``batch``
+    narrow ones — same FLOPs, 1/batch the MXU issue count and
     accumulate-chain depth."""
     from gnnome_tpu.ops.banded import _select_matmul
 
@@ -2772,15 +2861,6 @@ def _fused_gate_gather_kernel(
                 vids_hbm.at[pl.ds(c * SUBCHUNKS, SUBCHUNKS), :],
                 vids_buf.at[slot], sems.at[slot, 3]),
         )
-
-    def wide_row(buf, slot, r):
-        """[1, bl] ids row: ``batch`` consecutive [1, LANE] subrow tiles
-        laid side by side (lane concat — a layout op, no data movement
-        through HBM; a <8-row DMA of a reshaped view would violate the
-        (8, 128) tiling)."""
-        parts = [buf[slot, r * batch + j : r * batch + j + 1, :]
-                 for j in range(batch)]
-        return parts[0] if batch == 1 else jnp.concatenate(parts, axis=1)
 
     gpc = SUBCHUNKS // group  # window groups per chunk
 
@@ -2846,17 +2926,19 @@ def _fused_gate_gather_kernel(
                 if r % gpb == 0:
                     for wi in range(2):
                         window_dma(slot, c, gr, wi).wait()
-                ids_row = wide_row(ids_buf, slot, r)
                 sl = slice(r * bl, (r + 1) * bl)
                 graw = g_buf[slot, sl, :].astype(jnp.float32)
                 ein = e_buf[slot, sl, :].astype(jnp.float32)
-                vids_row = wide_row(vids_buf, slot, r)  # [1, bl]
                 v_rows = jnp.zeros((bl, feat_dim), jnp.float32)
                 for wi in range(2):
                     base = w0_ref[2 * (c * gpc + gr) + wi]
-                    sel = (row_iota + base == vids_row)  # [wr, bl]
+                    sel = _wide_onehot(
+                        lambda j: (row_iota + base
+                                   == vids_buf[slot, r * batch + j
+                                               : r * batch + j + 1, :]),
+                        batch)  # [wr, bl]
                     v_rows = v_rows + _select_matmul(
-                        sel.astype(jnp.bfloat16), win_buf[slot, gr, wi])
+                        sel, win_buf[slot, gr, wi])
                 enew = jnp.maximum(graw * scale2 + bias2, 0.0) + ein
                 enew_buf[slot, sl, :] = enew.astype(enew_buf.dtype)
                 sig = jax.nn.sigmoid(enew)
@@ -2865,7 +2947,10 @@ def _fused_gate_gather_kernel(
                 vdt = win_buf.dtype
                 sv = (sig * v_rows).astype(vdt)
                 sb = sig.astype(vdt)
-                oh = (ids_row == row_ids).astype(jnp.bfloat16)
+                oh = _wide_onehot(
+                    lambda j: (ids_buf[slot, r * batch + j
+                                       : r * batch + j + 1, :] == row_ids),
+                    batch)
                 if split and r % 2 == 1:
                     b1 = _acc_matmul(b1, oh, sv)
                     b2 = _acc_matmul(b2, oh, sb)
@@ -2972,9 +3057,7 @@ def fused_gate_sigma_gather_pallas(
     # (clamped to a divisor of the plan group — batched rows must share
     # one window pair). Measured at 1M edges on v5e (SWEEP_ROUND=3):
     # batch4 6.74 ms vs batch1 7.62 — fewer, wider MXU issues win.
-    batch = max(int(os.environ.get("GNNOME_EPILOG_BATCH", "4")), 1)
-    while value_plan.group % batch != 0:
-        batch //= 2
+    batch = _pick_batch("GNNOME_EPILOG_BATCH", value_plan.group)
     ids_2d = segment_ids_sorted.reshape(e_pad // LANE, LANE)
     vids_2d = value_ids.reshape(e_pad // LANE, LANE)
 
