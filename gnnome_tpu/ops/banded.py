@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -75,6 +76,41 @@ def _fallback_plan() -> BandPlan:
 # power-of-two ladder; the MXU contracts over wr in 128-row steps and
 # the DMA engine prefers >=64 KB streams.
 DEFAULT_WIDTHS = (128, 256, 512)
+
+# Window-width-aware plan cost model (round 5). A (group, wr) plan's
+# per-id time has two terms:
+#   bytes: the window pair is DMA'd once per group·LANE ids
+#          → t_bw ∝ 2·wr·D·itemsize / (group·LANE·BW)
+#   MXU:   the selector matmuls run per subrow REGARDLESS of group
+#          (2 windows × a [wr, LANE]ᵀ@[wr, D] dot) → t_mxu ∝ 4·wr·D / F
+# Normalizing by the bytes term's coefficient, cost ∝ wr·(1/group + κ)
+# with κ = (4/F)·(LANE·BW)/(2·itemsize). The bytes-only model (round 2-4)
+# over-widened: it scored (group=8, wr=256) at HALF the cost of
+# (group=4, wr=128), though the wider window doubles the MXU work for
+# the same bytes/id. First-principles κ at v5e (BW 819 GB/s, 197 bf16
+# TFLOP/s, bf16 tables): ≈0.53; measured on the fused epilog with forced
+# plans at 1M edges (runs/plan_calibration.log): (8,256) vs (4,128) and
+# (8,256) vs (2,128) bracket κ ≈ 0.5-0.9 — the MXU term is real and of
+# the same order as the bytes term. Default 0.6; override with
+# GNNOME_PLAN_MXU_WEIGHT (0 restores the bytes-only ranking).
+_PLAN_MXU_WEIGHT_DEFAULT = 0.6
+
+
+def plan_mxu_weight() -> float:
+    raw = os.environ.get("GNNOME_PLAN_MXU_WEIGHT")
+    if raw is None:
+        return _PLAN_MXU_WEIGHT_DEFAULT
+    try:
+        return max(float(raw), 0.0)
+    except ValueError:
+        return _PLAN_MXU_WEIGHT_DEFAULT
+
+
+def plan_cost(wr: int, group: int) -> float:
+    """Relative per-id time of a covering (group, wr) plan (see the κ
+    note above): window-stream HBM bytes ∝ wr/group plus selector-matmul
+    MXU flops ∝ wr."""
+    return wr * (1.0 / group + plan_mxu_weight())
 
 
 def plan_windows(
@@ -138,12 +174,16 @@ def plan_windows_auto(
 ) -> BandPlan:
     """Pick the cheapest covering (group, wr) plan for ``ids``.
 
-    Cost model, in order: window-stream HBM bytes per id (∝ ``wr/group``;
-    the dominant term — each group pair is DMA'd once and serves
-    ``group·128`` ids), then selector-matmul FLOPs (∝ ``wr``), then DMA
-    count (larger group = fewer, longer streams). On chain-like assembly
-    graphs a whole 1024-edge chunk usually fits two 128-row windows
-    (group=8), cutting window traffic 8× vs the per-subrow plan.
+    Cost: the calibrated time model ``plan_cost`` — window-stream HBM
+    bytes per id (∝ ``wr/group``; each group pair is DMA'd once and
+    serves ``group·128`` ids) PLUS the selector-matmul MXU term
+    (∝ ``wr``, paid per subrow regardless of group). Ties break toward
+    narrower windows, then larger groups (fewer, longer DMA streams). On
+    chain-like assembly graphs a whole 1024-edge chunk usually fits two
+    128-row windows (group=8), cutting window traffic 8× vs the
+    per-subrow plan; on high-span graphs where only wider windows cover
+    large groups, the MXU term stops the picker from trading a halving
+    of bytes for a doubling of selector flops.
     """
     ids = np.asarray(ids)
     best = None
@@ -153,7 +193,7 @@ def plan_windows_auto(
             continue
         p = plan_windows(ids, n_rows, widths=widths, group=group)
         if p.ok:
-            cost = (2.0 * p.wr / (group * LANE), p.wr, -group)
+            cost = (plan_cost(p.wr, group), p.wr, -group)
             if best is None or cost < best_cost:
                 best, best_cost = p, cost
     return best if best is not None else _fallback_plan()

@@ -102,14 +102,21 @@ def _env_sub(name: str, policy: int) -> int:
 
 def _pick_batch(name: str, *divisor_constraints: int,
                 default: str = "4") -> int:
-    """Resolve a subrow-batching knob: env value (default 4) halved until
-    it divides every constraint (band-plan groups / the 8-subrow chunk).
-    Batched rows share one window pair, so the batch must divide the
-    plan group; 1 disables batching (the original per-subrow form)."""
-    batch = max(int(os.environ.get(name, default)), 1)
-    while any(c % batch != 0 for c in divisor_constraints):
-        batch //= 2
-    return batch
+    """Resolve a subrow-batching knob: the largest batch <= the env value
+    (default 4) that divides every constraint (band-plan groups / the
+    8-subrow chunk). Batched rows share one window pair, so the batch
+    must divide the plan group; 1 disables batching (the original
+    per-subrow form). Malformed env values fall back to the default
+    rather than raising at trace time."""
+    raw = os.environ.get(name, default)
+    try:
+        want = max(int(raw), 1)
+    except ValueError:
+        want = max(int(default), 1)
+    for batch in range(want, 0, -1):
+        if all(c % batch == 0 for c in divisor_constraints):
+            return batch
+    return 1
 
 
 def _wide_onehot(mk, batch: int):

@@ -197,13 +197,14 @@ def _plan_rows(
 ) -> Tuple[np.ndarray, int, int]:
     """Banded windows for a [R, L] stack of ids arrays under ONE static
     (group, width) — the pallas dispatch must be uniform across shard_map
-    ranks. Groups are cost-picked like ``plan_windows_auto`` (window-
-    stream bytes/id ∝ wr/group first): grouped plans serve up to 8
-    consecutive subrows from one window pair, the round-2 window-reuse
-    lever the sharded path previously forwent. Returns (w0 [R, S, 2], wr,
-    group); wr == 0 when no (group, width) covers every row (callers then
-    use ``jnp.take``)."""
-    from gnnome_tpu.ops.banded import plan_windows
+    ranks. Groups are cost-picked with the same calibrated time model as
+    ``plan_windows_auto`` (``ops/banded.plan_cost``: window-stream
+    bytes/id ∝ wr/group plus the selector-MXU term ∝ wr): grouped plans
+    serve up to 8 consecutive subrows from one window pair, the round-2
+    window-reuse lever the sharded path previously forwent. Returns
+    (w0 [R, S, 2], wr, group); wr == 0 when no (group, width) covers
+    every row (callers then use ``jnp.take``)."""
+    from gnnome_tpu.ops.banded import plan_cost, plan_windows
 
     # disabled plans keep one dummy row (NOT zero-size: XLA forces
     # zero-size inputs to replicated, clashing with the shard_map spec)
@@ -226,7 +227,7 @@ def _plan_rows(
             out.append(np.asarray(p.w0))
         if out is None:
             continue
-        cost = wr / group
+        cost = plan_cost(wr, group)
         if best is None or cost < best[0]:
             best = (cost, np.stack(out).astype(np.int32), wr, group)
     if best is None:

@@ -28,6 +28,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np
 import pytest
 
+# Ambient GNNOME_* perf knobs (batch/subtile/slots overrides an operator
+# may have exported for sweeps) would silently change which kernel
+# variants the parity pins compile — strip them so CI always tests the
+# auto policies plus whatever each test sets explicitly (ADVICE r4 #3).
+for _k in [k for k in os.environ if k.startswith("GNNOME_")]:
+    if _k not in ("GNNOME_NATIVE_LIB", "GNNOME_FORCE_PYTHON"):
+        del os.environ[_k]
+
 
 @pytest.fixture
 def rng():

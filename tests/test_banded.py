@@ -12,6 +12,7 @@ import pytest
 from gnnome_tpu.ops.banded import (
     LANE,
     banded_take_pallas,
+    plan_cost,
     plan_windows,
     plan_windows_auto,
     take_rows,
@@ -203,3 +204,62 @@ def test_model_grads_match_across_backends():
         # dominated sums whose value depends on reduction order
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
                                    atol=1e-4)
+
+
+def _high_span_ids(n_reps=2):
+    """Ids whose 256-id blocks each span one contiguous 256-row range but
+    whose 512/1024-id blocks span 512 rows: (group=2, wr=128) covers,
+    while group 4/8 need wr=256 — the configuration where a bytes-only
+    cost model over-widens (half the window bytes for double the
+    selector-MXU flops)."""
+    pat = np.concatenate([
+        np.tile(np.arange(256, dtype=np.int32), 1),
+        np.tile(np.arange(256, 512, dtype=np.int32), 1),
+    ])
+    return np.tile(pat, 2 * n_reps)  # multiples of 1024 ids
+
+
+def test_plan_cost_model_prefers_narrow_windows(monkeypatch):
+    """The calibrated time model (plan_cost): on high-span ids the picker
+    must stop trading a halving of window bytes for a doubling of the
+    selector-matmul work (VERDICT r4 #2)."""
+    ids = _high_span_ids()
+    n_rows = 1024
+    # feasibility as constructed: group 2 covers at 128, groups 4/8 at 256
+    assert plan_windows(ids, n_rows, widths=(128,), group=2).ok
+    assert not plan_windows(ids, n_rows, widths=(128,), group=4).ok
+    assert plan_windows(ids, n_rows, widths=(256,), group=8).ok
+
+    auto = plan_windows_auto(ids, n_rows)
+    assert (auto.group, auto.wr) == (2, 128), (auto.group, auto.wr)
+
+    # bytes-only ranking (κ=0) restores the old over-widening choice
+    monkeypatch.setenv("GNNOME_PLAN_MXU_WEIGHT", "0")
+    auto0 = plan_windows_auto(ids, n_rows)
+    assert (auto0.group, auto0.wr) == (8, 256), (auto0.group, auto0.wr)
+
+    # malformed env values fall back to the default weight, not a crash
+    monkeypatch.setenv("GNNOME_PLAN_MXU_WEIGHT", "not-a-float")
+    autod = plan_windows_auto(ids, n_rows)
+    assert (autod.group, autod.wr) == (2, 128)
+
+
+def test_plan_cost_monotonicity():
+    """Sanity pins on the cost model itself: wider windows cost more at
+    fixed group; larger groups cost less at fixed width; doubling both
+    (same bytes/id, double the MXU term) costs more."""
+    assert plan_cost(256, 4) > plan_cost(128, 4)
+    assert plan_cost(128, 8) < plan_cost(128, 4)
+    assert plan_cost(256, 8) > plan_cost(128, 4)
+
+
+def test_sharded_plan_rows_cost_model():
+    """_plan_rows (the shard-uniform planner) applies the same time model:
+    on the high-span ids stack it must pick (group=2, wr=128) over the
+    byte-cheaper (group=8, wr=256)."""
+    from gnnome_tpu.parallel.sharded import _plan_rows
+
+    ids = _high_span_ids()
+    stack = np.stack([ids, ids])
+    w0, wr, group = _plan_rows(stack, 1024)
+    assert (group, wr) == (2, 128), (group, wr)
