@@ -84,16 +84,22 @@ DEFAULT_WIDTHS = (128, 256, 512)
 #   MXU:   the selector matmuls run per subrow REGARDLESS of group
 #          (2 windows × a [wr, LANE]ᵀ@[wr, D] dot) → t_mxu ∝ 4·wr·D / F
 # Normalizing by the bytes term's coefficient, cost ∝ wr·(1/group + κ)
-# with κ = (4/F)·(LANE·BW)/(2·itemsize). The bytes-only model (round 2-4)
-# over-widened: it scored (group=8, wr=256) at HALF the cost of
-# (group=4, wr=128), though the wider window doubles the MXU work for
-# the same bytes/id. First-principles κ at v5e (BW 819 GB/s, 197 bf16
-# TFLOP/s, bf16 tables): ≈0.53; measured on the fused epilog with forced
-# plans at 1M edges (runs/plan_calibration.log): (8,256) vs (4,128) and
-# (8,256) vs (2,128) bracket κ ≈ 0.5-0.9 — the MXU term is real and of
-# the same order as the bytes term. Default 0.6; override with
-# GNNOME_PLAN_MXU_WEIGHT (0 restores the bytes-only ranking).
-_PLAN_MXU_WEIGHT_DEFAULT = 0.6
+# with κ = (4/F)·(LANE·BW)/(2·itemsize). CALIBRATED on v5e at 1M edges
+# (scripts/calibrate_plan_cost.py, runs/plan_calibration.log): forced
+# (group, wr) plans on the fused epilog and the plain banded take, fit
+# t = a + b·(wr/group) + c·wr →
+#   epilog: b=1.216 ms per (128-row window / group), c=0.262 ms per
+#           128 rows of width → κ = 0.22
+#   take:   b=1.238, c=0.232 → κ = 0.19
+# κ = 0.2 rank-orders ALL seven measured (group, wr) points correctly
+# on both ops (e.g. take: (4,128) 1.03 < (8,256) 1.43 < (2,128) 1.59 <
+# (4,256) 1.99 < (1,128) 2.48 < (2,256) 2.55 < (1,256) 3.50 ms). The
+# bytes-only model (round 2-4) mis-ranks the wide tail: it strictly
+# preferred (8,512) over (1,128) (half the window bytes) though the
+# 512-row windows cost 4× the selector-MXU work — measured slower.
+# Override with GNNOME_PLAN_MXU_WEIGHT (0 restores the bytes-only
+# ranking).
+_PLAN_MXU_WEIGHT_DEFAULT = 0.2
 
 
 def plan_mxu_weight() -> float:

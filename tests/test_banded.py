@@ -207,41 +207,46 @@ def test_model_grads_match_across_backends():
 
 
 def _high_span_ids(n_reps=2):
-    """Ids whose 256-id blocks each span one contiguous 256-row range but
-    whose 512/1024-id blocks span 512 rows: (group=2, wr=128) covers,
-    while group 4/8 need wr=256 — the configuration where a bytes-only
-    cost model over-widens (half the window bytes for double the
-    selector-MXU flops)."""
-    pat = np.concatenate([
-        np.tile(np.arange(256, dtype=np.int32), 1),
-        np.tile(np.arange(256, 512, dtype=np.int32), 1),
-    ])
-    return np.tile(pat, 2 * n_reps)  # multiples of 1024 ids
+    """Ids where only group=1 covers at wr=128 while every larger group
+    needs wr=512: each subrow has two 64-wide clusters, with even/odd
+    subrows drawing from DIFFERENT base pairs ({0, 1024} vs {448, 1472})
+    — any multi-subrow group unions to four clusters that two windows
+    only span at 512 rows. This is the configuration where the bytes-only
+    cost model over-widens: (8, 512) halves the window bytes of (1, 128)
+    but costs 4× the selector-MXU work (measured slower,
+    runs/plan_calibration.log)."""
+    sub_even = np.concatenate([np.arange(64), 1024 + np.arange(64),
+                               np.arange(64), 1024 + np.arange(64)])
+    sub_odd = np.concatenate([448 + np.arange(64), 1472 + np.arange(64),
+                              448 + np.arange(64), 1472 + np.arange(64)])
+    pat = np.concatenate([sub_even[:128], sub_odd[:128]] * 4)  # 1024 ids
+    return np.tile(pat.astype(np.int32), n_reps)
 
 
 def test_plan_cost_model_prefers_narrow_windows(monkeypatch):
     """The calibrated time model (plan_cost): on high-span ids the picker
-    must stop trading a halving of window bytes for a doubling of the
-    selector-matmul work (VERDICT r4 #2)."""
+    must stop trading a halving of window bytes for a 4× widening of the
+    selector matmuls (VERDICT r4 #2)."""
     ids = _high_span_ids()
-    n_rows = 1024
-    # feasibility as constructed: group 2 covers at 128, groups 4/8 at 256
-    assert plan_windows(ids, n_rows, widths=(128,), group=2).ok
-    assert not plan_windows(ids, n_rows, widths=(128,), group=4).ok
-    assert plan_windows(ids, n_rows, widths=(256,), group=8).ok
+    n_rows = 2048
+    # feasibility as constructed: group 1 covers at 128; larger groups
+    # union four distant clusters and need 512-row windows
+    assert plan_windows(ids, n_rows, widths=(128,), group=1).ok
+    assert not plan_windows(ids, n_rows, widths=(256,), group=2).ok
+    assert plan_windows(ids, n_rows, widths=(512,), group=8).ok
 
     auto = plan_windows_auto(ids, n_rows)
-    assert (auto.group, auto.wr) == (2, 128), (auto.group, auto.wr)
+    assert (auto.group, auto.wr) == (1, 128), (auto.group, auto.wr)
 
     # bytes-only ranking (κ=0) restores the old over-widening choice
     monkeypatch.setenv("GNNOME_PLAN_MXU_WEIGHT", "0")
     auto0 = plan_windows_auto(ids, n_rows)
-    assert (auto0.group, auto0.wr) == (8, 256), (auto0.group, auto0.wr)
+    assert (auto0.group, auto0.wr) == (8, 512), (auto0.group, auto0.wr)
 
     # malformed env values fall back to the default weight, not a crash
     monkeypatch.setenv("GNNOME_PLAN_MXU_WEIGHT", "not-a-float")
     autod = plan_windows_auto(ids, n_rows)
-    assert (autod.group, autod.wr) == (2, 128)
+    assert (autod.group, autod.wr) == (1, 128)
 
 
 def test_plan_cost_monotonicity():
@@ -255,11 +260,11 @@ def test_plan_cost_monotonicity():
 
 def test_sharded_plan_rows_cost_model():
     """_plan_rows (the shard-uniform planner) applies the same time model:
-    on the high-span ids stack it must pick (group=2, wr=128) over the
-    byte-cheaper (group=8, wr=256)."""
+    on the high-span ids stack it must pick (group=1, wr=128) over the
+    byte-cheaper (group=8, wr=512)."""
     from gnnome_tpu.parallel.sharded import _plan_rows
 
     ids = _high_span_ids()
     stack = np.stack([ids, ids])
-    w0, wr, group = _plan_rows(stack, 1024)
-    assert (group, wr) == (2, 128), (group, wr)
+    w0, wr, group = _plan_rows(stack, 2048)
+    assert (group, wr) == (1, 128), (group, wr)

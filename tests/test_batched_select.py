@@ -133,3 +133,128 @@ def test_gate_front_batched_matches_batch1(graph, feats, monkeypatch, batch):
     np.testing.assert_allclose(
         np.asarray(mom), np.asarray(mom_ref),
         rtol=1e-4, atol=1e-3 * max(1.0, e_real / 1e4))
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_epilog_bwd_batched_matches_batch1(graph, feats, monkeypatch, batch):
+    """ADVICE r4: the fused epilog backward under GNNOME_EPILOG_BATCH —
+    the per-edge grads are row-local (selects + elementwise chains), so
+    batch>1 must be bit-equal on d_gate/d_enew/d_vals; d_affine is an f32
+    running sum over wider row tiles (re-association only)."""
+    from gnnome_tpu.ops.spmm_pallas import epilog_bwd_pallas
+
+    rng = np.random.default_rng(7)
+    n_pad, e_pad = graph.n_nodes_padded, graph.n_edges_padded
+    dt = jnp.bfloat16
+    gate_raw = jnp.asarray(rng.standard_normal((e_pad, D)) * 0.1, dt)
+    e_new = jnp.asarray(rng.standard_normal((e_pad, D)) * 0.1, dt)
+    g_enew = jnp.asarray(rng.standard_normal((e_pad, D)) * 0.1, dt)
+    g_sums = jnp.asarray(rng.standard_normal((n_pad, 2 * D)) * 0.1, dt)
+    dst_key = jnp.where(graph.edge_mask, graph.dst, PAD_SEGMENT)
+
+    def run():
+        return epilog_bwd_pallas(
+            gate_raw, e_new, g_enew, g_sums, feats["v"], feats["affine"],
+            dst_key, graph.src, graph.by_dst.key_plan,
+            graph.by_src.key_plan, interpret=True)
+
+    _with_batch(monkeypatch, "GNNOME_EPILOG_BATCH", 1)
+    ref = run()
+    _with_batch(monkeypatch, "GNNOME_EPILOG_BATCH", batch)
+    out = run()
+    for a, b in zip(out[:3], ref[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(out[3]), np.asarray(ref[3]), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_rev_bwd_batched_matches_batch1(graph, feats, monkeypatch, batch):
+    """rev_bwd_pallas (reverse-unsorted backward) under the batch knob:
+    both outputs are per-edge (row-local) — bit-equal."""
+    from gnnome_tpu.ops.spmm_pallas import rev_bwd_pallas
+
+    rng = np.random.default_rng(8)
+    n_pad, e_pad = graph.n_nodes_padded, graph.n_edges_padded
+    dt = jnp.bfloat16
+    e_new = jnp.asarray(rng.standard_normal((e_pad, D)) * 0.1, dt)
+    g_sums = jnp.asarray(rng.standard_normal((n_pad, 2 * D)) * 0.1, dt)
+    src_key = jnp.where(graph.edge_mask, graph.src, PAD_SEGMENT)
+
+    def run():
+        return rev_bwd_pallas(
+            e_new, g_sums, feats["v"], src_key, graph.dst,
+            graph.by_src.key_plan, graph.by_dst.key_plan, interpret=True)
+
+    _with_batch(monkeypatch, "GNNOME_EPILOG_BATCH", 1)
+    ref = run()
+    _with_batch(monkeypatch, "GNNOME_EPILOG_BATCH", batch)
+    out = run()
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_segsum_stream_batched_matches_batch1(monkeypatch, batch):
+    """GNNOME_SEGSUM_BATCH > 1 in the streaming segment-sum (an opt-in
+    knob that had never been executed — VERDICT r4 weak #4): the wider
+    contraction re-associates the f32 sums, so parity is allclose, not
+    bit-equal."""
+    from gnnome_tpu.ops.segment import segment_sum_csr
+    from tests.test_segsum_stream import _graph
+
+    g = _graph("chain", seed=11)
+    assert g.by_dst.stream_w > 0
+    rng = np.random.default_rng(9)
+    data = jnp.asarray(rng.standard_normal((g.n_edges_padded, 128)),
+                       jnp.float32)
+    _with_batch(monkeypatch, "GNNOME_SEGSUM_BATCH", 1)
+    ref = segment_sum_csr(data, g.by_dst, g.n_nodes_padded,
+                          backend="pallas_interpret")
+    _with_batch(monkeypatch, "GNNOME_SEGSUM_BATCH", batch)
+    out = segment_sum_csr(data, g.by_dst, g.n_nodes_padded,
+                          backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    xla = segment_sum_csr(data, g.by_dst, g.n_nodes_padded, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla),
+                               rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_gate_front_bwd_stream_batched(monkeypatch, batch):
+    """GNNOME_SEGSUM_BATCH > 1 through the dual-key streaming gate-front
+    backward (ops/spmm_pallas.gate_front_bwd_stream_pallas)."""
+    from gnnome_tpu.core.graph import build_graph as _bg
+    from gnnome_tpu.ops.segment import fused_gate_front
+
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 300, 3000).astype(np.int32)
+    d_ = np.minimum(src + rng.integers(1, 9, 3000), 299).astype(np.int32)
+    keep = src != d_
+    g = _bg(src[keep], d_[keep], 300)
+    assert g.by_dst.stream_w > 0 and g.by_src.stream_w > 0
+    E, Dd = g.n_edges_padded, 128
+    e = jnp.asarray(rng.standard_normal((E, Dd)).astype(np.float32))
+    b1h = jnp.asarray(
+        rng.standard_normal((g.n_nodes_padded, Dd)).astype(np.float32))
+    b2h = jnp.asarray(
+        rng.standard_normal((g.n_nodes_padded, Dd)).astype(np.float32))
+    w3 = jnp.asarray(rng.standard_normal((Dd, Dd)).astype(np.float32) * 0.1)
+    b3 = jnp.asarray(rng.standard_normal(Dd).astype(np.float32) * 0.1)
+
+    def loss(b1h, b2h, e, w3, b3):
+        gate, mom = fused_gate_front(
+            b1h, b2h, e, w3, b3, g.src, g.dst, (g.by_src, g.by_dst),
+            g.n_nodes_padded, g.n_edges, "pallas_interpret")
+        return (jnp.sum(jnp.sin(gate.astype(jnp.float32)))
+                + jnp.sum(mom * jnp.arange(2)[:, None]))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    _with_batch(monkeypatch, "GNNOME_SEGSUM_BATCH", 1)
+    ref = grads(b1h, b2h, e, w3, b3)
+    _with_batch(monkeypatch, "GNNOME_SEGSUM_BATCH", batch)
+    out = grads(b1h, b2h, e, w3, b3)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
