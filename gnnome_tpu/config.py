@@ -74,9 +74,18 @@ class DecodeConfig:
     # seeds ∝ prob over all alive edges). The hard-benchmark post-mortem
     # (docs/FLAGSHIP.md) found 11/17 misassembly breaks were walked at
     # prob<=0.5 — this is the decoder lever that trades contig length
-    # for fewer misassemblies. Applies to the GNN-scored decode only
-    # (baselines walk raw overlap metrics).
+    # for fewer misassemblies.
     min_prob: float = 0.0
+    # The SAME confidence-floor lever for the non-learned baseline
+    # decoders (overlap_length / overlap_similarity controls,
+    # inference.py:280-401): their scores are raw features, so a sigmoid
+    # floor saturates (sigmoid(6000) == 1.0) — instead the floor is the
+    # q-th quantile of the feature over the graph's real edges, passed to
+    # the walkers as a raw-score floor (decode/greedy.get_contigs
+    # min_score). 0.0 = reference semantics. Fair-comparison protocol
+    # (docs/FLAGSHIP.md): select min_prob AND this quantile on the
+    # VALIDATION graph, then report the test graph once.
+    baseline_min_quantile: float = 0.0
 
 
 @dataclasses.dataclass

@@ -141,6 +141,7 @@ def get_contigs(
     seed: int = 0,
     engine: str = "batched",
     min_prob: float = 0.0,
+    min_score: float | None = None,
 ) -> List[List[int]]:
     """Iterative contig extraction (``inference.py:182-253``).
 
@@ -150,13 +151,20 @@ def get_contigs(
     per step; ``'sequential'`` is the direct reference restatement below.
     ``min_prob`` > 0 stops extending a walk once the next edge's sigmoid
     probability drops below it (see DecodeConfig.min_prob); only
-    meaningful when ``scores`` are logits, so baseline decodes (raw
-    overlap metrics) must leave it at 0.
+    meaningful when ``scores`` are logits. ``min_score`` (raw score-space
+    floor) overrides the ``min_prob`` mapping — the equivalent confidence
+    floor for decoders whose scores are NOT logits (the raw
+    overlap_length / overlap_similarity baselines, where sigmoid
+    saturates; use a feature quantile instead, see
+    ``DecodeConfig.baseline_min_quantile``).
     """
-    min_score = (
-        float("-inf") if min_prob <= 0.0
-        else float(np.log(min_prob) - np.log1p(-min_prob))
-    )
+    if min_score is None:
+        min_score = (
+            float("-inf") if min_prob <= 0.0
+            else float(np.log(min_prob) - np.log1p(-min_prob))
+        )
+    else:
+        min_score = float(min_score)
     if engine == "batched":
         from gnnome_tpu.decode.batched import get_contigs_batched
 

@@ -147,12 +147,22 @@ def inference(
                 (sample.overlap_length.astype(np.float64), "_ol_len"),
                 (sample.overlap_similarity.astype(np.float64), "_ol_sim"),
             ):
+                # the baselines get the same confidence-floor lever as the
+                # GNN (min_prob): their scores are raw features where a
+                # sigmoid floor saturates, so the floor is a feature
+                # quantile over real edges (DecodeConfig docstring)
+                q = cfg.decode.baseline_min_quantile
+                min_score_b = (
+                    float(np.quantile(metric[sample.src != sample.dst], q))
+                    if q > 0.0 else None
+                )
                 walks_b = greedy.get_contigs(
                     sample.src, sample.dst, metric, succs, preds, edges,
                     sample.prefix_length, sample.read_length,
                     nb_paths=cfg.decode.num_decoding_paths,
                     len_threshold=cfg.decode.len_threshold,
                     seed=cfg.train.seed,
+                    min_score=min_score_b,
                 )
                 with open(os.path.join(inference_dir,
                                        f"{idx}_walks{suffix}.pkl"), "wb") as f:
