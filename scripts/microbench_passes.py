@@ -198,6 +198,49 @@ def main() -> None:
             lambda h, e: jax.grad(layer_loss_p, argnums=(0, 1, 2))(lp, h, e)[1],
             same, nodes, edges)
 
+    # --- composites: chained layers / remat groups, so the between-kernel
+    # and between-layer glue is MEASURED rather than inferred (the ledger's
+    # glue row = composite minus the sum of its parts) ---
+    if os.environ.get("BENCH_COMPOSITES", "1") == "1":
+        from gnnome_tpu.models.gated_gcn import (
+            gated_gcn_layer,
+            init_gated_gcn_layer,
+        )
+
+        lps = [init_gated_gcn_layer(jax.random.fold_in(jax.random.PRNGKey(0), i),
+                                    d, dtype) for i in range(4)]
+
+        def chain_loss(n):
+            def loss(h, e):
+                for i in range(n):
+                    h, e = gated_gcn_layer(lps[i], graph, h, e,
+                                           backend=backend)
+                return (jnp.sum(h.astype(jnp.float32))
+                        + jnp.sum(e.astype(jnp.float32)))
+            return loss
+
+        results["layers2_fwd_bwd"] = timeit(
+            "2 chained layers fwd+bwd",
+            lambda h, e: jax.grad(chain_loss(2))(h, e), same, nodes, edges)
+        results["layers4_fwd_bwd"] = timeit(
+            "4 chained layers fwd+bwd",
+            lambda h, e: jax.grad(chain_loss(4))(h, e), same, nodes, edges)
+
+        def group4_loss(h, e):
+            def body(args):
+                h, e = args
+                for i in range(4):
+                    h, e = gated_gcn_layer(lps[i], graph, h, e,
+                                           backend=backend)
+                return (h, e)
+            h, e = jax.checkpoint(body)((h, e))
+            return (jnp.sum(h.astype(jnp.float32))
+                    + jnp.sum(e.astype(jnp.float32)))
+
+        results["group4_remat_fwd_bwd"] = timeit(
+            "4-layer remat group fwd+bwd (replay incl.)",
+            lambda h, e: jax.grad(group4_loss)(h, e), same, nodes, edges)
+
     # --- step-level glue: score head + encoders (model.py) ---
     if os.environ.get("BENCH_HEAD", "1") == "1":
         from gnnome_tpu.models.common import init_linear
