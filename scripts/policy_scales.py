@@ -80,7 +80,7 @@ def run_scale(n_nodes: int, n_edges: int, iters: int, compile_only: bool) -> Non
         print(f"  {name:34s} {(t_hi - t_lo) / iters * 1e3:8.2f} ms", flush=True)
 
     grids = [("auto", {})]
-    if not compile_only:
+    if not compile_only and os.environ.get("POLICY_GRID") != "auto":
         grids += [
             ("slots3", {"GNNOME_EPILOG_SLOTS": "3", "GNNOME_SIGMA_SLOTS": "3"}),
             ("batch1", {"GNNOME_EPILOG_BATCH": "1", "GNNOME_SIGMA_BATCH": "1",
